@@ -1,0 +1,173 @@
+"""The generic trainable model: composed network + losses + metrics +
+transforms + optimizer, with jit-compiled train/eval steps.
+
+Capability parity: reference ``NotorchModel`` (lightning_models/model.py:25-280)
+— the declarative ``modules``/``losses``/``metrics``/``transforms`` recipe and
+the ``train/<name>``, ``val/<name>`` logging keys — re-expressed as pure
+functions over an explicit :class:`TrainState`, replacing the Lightning loop
+with donated-state jitted steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from notorch_tpu.model.composed import ComposedNetwork, _gather, make_network
+
+EPS = 1e-6
+
+TARGET_KEY_PREFIX = "targets"
+
+
+def is_target_key(key: str) -> bool:
+    return key.split(".")[0] == TARGET_KEY_PREFIX
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+class Model:
+    """Compose, initialize, and step a declarative model.
+
+    Parameters mirror the reference's ``NotorchModel.__init__``:
+
+    - ``modules``: ``{name: {"module", "in_keys", "out_keys"}}``
+    - ``losses``/``metrics``: ``{name: {"fn", "in_keys", "weight"}}`` where
+      ``fn`` is a pure maskable callable from :mod:`notorch_tpu.tasks`
+    - ``transforms``: ``{name: {"preds": {"module", "key"}, "targets": ...}}``
+    - ``train_loss_weights``/``val_loss_weights``: per-term weights
+    - ``optimizer``: any optax transformation (default Adam 1e-4, matching
+      model.py:153)
+    """
+
+    def __init__(
+        self,
+        modules: Mapping[str, Mapping],
+        losses: Mapping[str, Mapping],
+        metrics: Mapping[str, Mapping] | None = None,
+        transforms: Mapping[str, Mapping] | None = None,
+        train_loss_weights: Mapping[str, float] | None = None,
+        val_loss_weights: Mapping[str, float] | None = None,
+        optimizer: optax.GradientTransformation | None = None,
+    ):
+        self.network: ComposedNetwork = make_network(modules)
+        self.losses = dict(losses)
+        self.metrics = dict(metrics or {})
+        self.transforms = dict(transforms or {})
+        self.train_loss_weights = dict(
+            train_loss_weights
+            if train_loss_weights is not None
+            else {name: cfg.get("weight", 1.0) for name, cfg in self.losses.items()}
+        )
+        self.val_loss_weights = dict(
+            val_loss_weights if val_loss_weights is not None else self.train_loss_weights
+        )
+        self.optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._predict_step = jax.jit(self._predict_step_impl)
+
+    # -- initialization -----------------------------------------------------
+    def init(self, rng: jax.Array, example_batch: Mapping[str, Any]) -> TrainState:
+        params_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+        variables = self.network.init(
+            {"params": params_rng, "dropout": dropout_rng}, dict(example_batch), training=True
+        )
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), rng=state_rng
+        )
+
+    # -- shared pieces ------------------------------------------------------
+    def _apply_transforms(self, batch: dict, mode: str) -> dict:
+        """Apply ``targets`` or ``preds`` transforms in place-by-key.
+        Missing keys are tolerated (reference ``partial_tolerant=True``)."""
+        batch = dict(batch)
+        for cfg in self.transforms.values():
+            sub = cfg.get(mode)
+            if not sub or sub.get("module") is None:
+                continue
+            key = sub["key"]
+            if key in batch:
+                batch[key] = sub["module"](batch[key])
+        return batch
+
+    def _loss_terms(self, batch: dict) -> dict[str, jnp.ndarray]:
+        terms = {}
+        for name, cfg in self.losses.items():
+            args, kwargs = _gather(batch, cfg["in_keys"])
+            terms[name] = cfg["fn"](*args, **kwargs)
+        return terms
+
+    def _metric_terms(self, batch: dict) -> dict[str, jnp.ndarray]:
+        terms = {}
+        for name, cfg in self.metrics.items():
+            args, kwargs = _gather(batch, cfg["in_keys"])
+            terms[name] = cfg["fn"](*args, **kwargs)
+        return terms
+
+    # -- steps --------------------------------------------------------------
+    def _train_step_impl(self, state: TrainState, batch: Mapping[str, Any]):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out = self.network.apply(
+                {"params": params}, dict(batch), training=True, rngs={"dropout": dropout_rng}
+            )
+            out = self._apply_transforms(out, "targets")
+            terms = self._loss_terms(out)
+            total = sum(
+                self.train_loss_weights.get(name, EPS) * v for name, v in terms.items()
+            )
+            return total, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1, rng=rng
+        )
+        logs = {f"train/{k}": v for k, v in terms.items()}
+        logs["train/loss"] = loss
+        return new_state, logs
+
+    def _eval_step_impl(self, params, batch: Mapping[str, Any]):
+        out = self.network.apply({"params": params}, dict(batch), training=False)
+        out = self._apply_transforms(out, "targets")
+        terms = self._loss_terms(out)
+        metric_terms = self._metric_terms(out)
+        val_loss = sum(self.val_loss_weights.get(name, EPS) * v for name, v in terms.items())
+        val_loss = val_loss + sum(
+            self.val_loss_weights.get(name, EPS) * v for name, v in metric_terms.items()
+        )
+        logs = {f"val/{k}": v for k, v in {**terms, **metric_terms}.items()}
+        logs["val/loss"] = val_loss
+        return logs, out
+
+    def _predict_step_impl(self, params, batch: Mapping[str, Any]):
+        out = self.network.apply({"params": params}, dict(batch), training=False)
+        return self._apply_transforms(out, "preds")
+
+    # -- public API ---------------------------------------------------------
+    def train_step(self, state: TrainState, batch) -> tuple[TrainState, dict]:
+        return self._train_step(state, batch)
+
+    def eval_step(self, params, batch) -> tuple[dict, dict]:
+        return self._eval_step(params, batch)
+
+    def predict_step(self, params, batch) -> dict:
+        return self._predict_step(params, batch)
+
+    def apply(self, params, batch, training: bool = False, rngs=None) -> dict:
+        return self.network.apply({"params": params}, dict(batch), training=training, rngs=rngs)

@@ -1,0 +1,223 @@
+"""Loss functions as pure, maskable JAX callables.
+
+Capability parity: reference ``notorch/nn/loss/loss.py`` (MSE/Bounded*/MVE/
+Evidential/BCE/CrossEntropy/Dirichlet/SelfSupervised) and ``loss/rnc.py``
+(Rank-N-Contrast). Every loss takes ``(preds, targets, *, mask,
+sample_weights)`` and returns a scalar via the shared masked reduce
+(reference ``loss.py:51-60``): masked elements contribute nothing and the
+normalizer is the mask sum — which also makes batch padding free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "masked_reduce",
+    "SelfSupervisedLoss",
+    "MSE",
+    "BoundedMSE",
+    "MAE",
+    "BoundedMAE",
+    "MVE",
+    "MeanVarianceEstimation",
+    "Evidential",
+    "BinaryCrossEntropy",
+    "BCE",
+    "CrossEntropy",
+    "XENT",
+    "Dirichlet",
+    "RankNContrastLoss",
+]
+
+
+def masked_reduce(loss, mask=None, sample_weights=None):
+    if sample_weights is not None:
+        loss = loss * sample_weights[:, None]
+    if mask is None:
+        return loss.mean()
+    mask = mask.astype(loss.dtype)
+    return (loss * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+@dataclass(frozen=True)
+class SelfSupervisedLoss:
+    """Pass-through for scalar self-supervised/auxiliary loss terms
+    (reference loss.py:24-36)."""
+
+    def __call__(self, inputs, **kwargs):
+        return jnp.asarray(inputs).reshape(())
+
+
+def _apply_bounds(preds, targets, lt_mask, gt_mask):
+    """Censored-regression clamping (reference ``_BoundedMixin``, loss.py:63-77):
+    inside the bound the error is zeroed."""
+    preds = jnp.where((preds < targets) & lt_mask, targets, preds)
+    preds = jnp.where((preds > targets) & gt_mask, targets, preds)
+    return preds
+
+
+@dataclass(frozen=True)
+class MSE:
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        return masked_reduce((preds - targets) ** 2, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class MAE:
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        return masked_reduce(jnp.abs(preds - targets), mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class BoundedMSE:
+    def __call__(self, preds, targets, *, lt_mask, gt_mask, mask=None, sample_weights=None, **kw):
+        preds = _apply_bounds(preds, targets, lt_mask, gt_mask)
+        return masked_reduce((preds - targets) ** 2, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class BoundedMAE:
+    def __call__(self, preds, targets, *, lt_mask, gt_mask, mask=None, sample_weights=None, **kw):
+        preds = _apply_bounds(preds, targets, lt_mask, gt_mask)
+        return masked_reduce(jnp.abs(preds - targets), mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class MeanVarianceEstimation:
+    """Gaussian NLL of Nix & Weigend (1994), Eq. 9 (reference loss.py:98-123).
+    ``preds``: [b, t, 2] (mean, var)."""
+
+    eps: float = 1e-8
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        mean, var = preds[..., 0], preds[..., 1]
+        var = jnp.maximum(var, self.eps)
+        nll = (mean - targets) ** 2 / (2 * var)
+        kl = jnp.log(2 * jnp.pi * var) / 2
+        return masked_reduce(nll + kl, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class Evidential:
+    """Deep evidential regression (Soleimany et al. 2021; reference
+    loss.py:126-168). ``preds``: [b, t, 4] (mean, v, alpha, beta)."""
+
+    v_kl: float = 0.2
+    eps: float = 1e-8
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        mean, v, alpha, beta = (preds[..., i] for i in range(4))
+        v = jnp.maximum(v, self.eps)
+        residuals = targets - mean
+        two_b_lambda = 2 * beta * (1 + v)
+        nll = (
+            0.5 * jnp.log(jnp.pi / v)
+            - alpha * jnp.log(two_b_lambda)
+            + (alpha + 0.5) * jnp.log(v * residuals**2 + two_b_lambda)
+            + jax.lax.lgamma(alpha)
+            - jax.lax.lgamma(alpha + 0.5)
+        )
+        reg = (2 * v + alpha) * jnp.abs(residuals)
+        return masked_reduce(nll + self.v_kl * (reg - self.eps), mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class BinaryCrossEntropy:
+    """BCE with logits (reference loss.py:171-182)."""
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        # numerically stable log-sigmoid formulation
+        L = jnp.maximum(preds, 0) - preds * targets + jnp.log1p(jnp.exp(-jnp.abs(preds)))
+        return masked_reduce(L, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class CrossEntropy:
+    """Softmax cross-entropy over the trailing class axis of ``preds`` [b,t,k]
+    against integer ``targets`` [b,t] (reference loss.py:185-198)."""
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        logp = jax.nn.log_softmax(preds, axis=-1)
+        tgt = targets.astype(jnp.int32)
+        L = -jnp.take_along_axis(logp, tgt[..., None], axis=-1).squeeze(-1)
+        return masked_reduce(L, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class Dirichlet:
+    """Evidential Dirichlet classification loss (Sensoy et al. 2018;
+    reference loss.py:268-317). ``preds``: [b, t, k] pre-evidence logits."""
+
+    v_kl: float = 0.2
+    num_classes: int = 2
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        alphas = jax.nn.softplus(preds) + 1
+        k = alphas.shape[-1]
+        onehot = jax.nn.one_hot(targets.astype(jnp.int32), k, dtype=alphas.dtype)
+
+        S = alphas.sum(-1, keepdims=True)
+        probs = alphas / S
+        A = ((onehot - probs) ** 2).sum(-1)
+        B = (probs * (1 - probs) / (S + 1)).sum(-1)
+        L_mse = A + B
+
+        alpha_tilde = onehot + (1 - onehot) * alphas
+        beta = jnp.ones_like(alpha_tilde)
+        S_alpha = alpha_tilde.sum(-1)
+        S_beta = beta.sum(-1)
+        ln_alpha = jax.lax.lgamma(S_alpha) - jax.lax.lgamma(alpha_tilde).sum(-1)
+        ln_beta = jax.lax.lgamma(beta).sum(-1) - jax.lax.lgamma(S_beta)
+        dg0 = jax.lax.digamma(alpha_tilde)
+        dg1 = jax.lax.digamma(S_alpha)[..., None]
+        L_kl = ln_alpha + ln_beta + ((alpha_tilde - beta) * (dg0 - dg1)).sum(-1)
+
+        return masked_reduce(L_mse + self.v_kl * L_kl, mask, sample_weights)
+
+
+def _cdist(A, B, p: float):
+    diff = jnp.abs(A[..., :, None, :] - B[..., None, :, :])
+    if p == 1.0:
+        return diff.sum(-1)
+    if p == 2.0:
+        return jnp.sqrt(jnp.maximum((diff**2).sum(-1), 1e-12))
+    return (diff**p).sum(-1) ** (1.0 / p)
+
+
+@dataclass(frozen=True)
+class PNorm:
+    p: float = 2.0
+    negate: bool = False
+
+    def __call__(self, A, B=None):
+        X = _cdist(A, A if B is None else B, self.p)
+        return -X if self.negate else X
+
+
+@dataclass(frozen=True)
+class RankNContrastLoss:
+    """Rank-N-Contrast regression-contrastive loss (reference rnc.py:39-75):
+    for each anchor i and positive j, the normalizer runs over the samples k
+    whose label-distance to i is at least that of j."""
+
+    distance: PNorm = field(default_factory=lambda: PNorm(p=1.0))
+    similarity: PNorm = field(default_factory=lambda: PNorm(p=2.0, negate=True))
+    temp: float = 2.0
+    eps: float = 1e-6
+
+    def __call__(self, inputs, targets, *, mask=None, sample_weights=None, **kw):
+        N = targets.shape[0]
+        dists = self.distance(targets)  # [N, N]
+        sims = self.similarity(inputs) / self.temp  # [N, N]
+        scores = jnp.exp(sims)
+
+        off_diag = ~jnp.eye(N, dtype=bool)
+        # include_mask[i, j, k] = 1 where d(i,k) >= d(i,j), k != i
+        include = (dists[:, None, :] >= dists[:, :, None]) & off_diag[:, None, :]
+        denom = (scores[:, None, :] * include).sum(-1) + self.eps  # [N, N]
+        nll = -(sims - jnp.log(denom))
+        return (nll * off_diag).sum() / jnp.maximum(off_diag.sum(), 1)
