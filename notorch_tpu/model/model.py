@@ -96,7 +96,7 @@ class Model:
         batch = dict(batch)
         for cfg in self.transforms.values():
             sub = cfg.get(mode)
-            if not sub or sub.get("module") is None:
+            if not sub or sub.get("module") is None or sub.get("key") is None:
                 continue
             key = sub["key"]
             if key in batch:

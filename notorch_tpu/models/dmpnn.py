@@ -1,0 +1,155 @@
+"""Prebuilt model recipes for the chemprop-lineage D-MPNN family.
+
+These are convenience factories over the declarative composition (the
+config-file presets of BASELINE.json's five configs); everything they build
+can equally be declared by hand via ``Model(modules=..., losses=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import optax
+
+from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
+from notorch_tpu.model.model import Model
+from notorch_tpu.nn import agg as agg_mod
+from notorch_tpu.nn.chemprop import ChempropBlock
+from notorch_tpu.nn.embed import GraphEmbedding
+from notorch_tpu.nn.mlp import MLP
+from notorch_tpu.tasks import losses as L
+from notorch_tpu.tasks import metrics as M
+
+AGGREGATIONS = {
+    "sum": agg_mod.Sum,
+    "mean": agg_mod.Mean,
+    "max": agg_mod.Max,
+    "gated": agg_mod.Gated,
+}
+
+_HEAD_WIDTH = {"regression": 1, "classification": 1, "mve": 2, "evidential": 4}
+
+_LOSSES = {
+    "regression": L.MSE,
+    "classification": L.BinaryCrossEntropy,
+    "multiclass": L.CrossEntropy,
+    "mve": L.MeanVarianceEstimation,
+    "evidential": L.Evidential,
+    "dirichlet": L.Dirichlet,
+}
+
+
+def build_dmpnn(
+    num_tasks: int = 1,
+    task: str = "regression",
+    num_classes: int = 2,
+    hidden_dim: int = DEFAULT_HIDDEN_DIM,
+    depth: int = 3,
+    dropout: float = 0.0,
+    aggregation: str = "mean",
+    ffn_layers: int = 1,
+    learning_rate: float = 1e-4,
+    optimizer: optax.GradientTransformation | None = None,
+    transforms: dict | None = None,
+    target_key: str = "targets.y",
+    num_node_types: int | None = None,
+    num_edge_types: int | None = None,
+    metrics: dict | None = None,
+    dtype=None,
+    graph_axis: str | None = None,
+) -> Model:
+    """The canonical embed -> chemprop -> readout -> FFN property predictor
+    (the model of reference ``tests/integration/test_regression.py``)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    embed_kwargs = {}
+    if num_node_types is not None:
+        embed_kwargs["num_node_types"] = num_node_types
+    if num_edge_types is not None:
+        embed_kwargs["num_edge_types"] = num_edge_types
+
+    per_task = _HEAD_WIDTH.get(task, num_classes)
+    output_size: int | Sequence[int] = (
+        num_tasks if per_task == 1 else (num_tasks, per_task)
+    )
+
+    modules = {
+        "embed": {
+            "module": GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs),
+            "in_keys": ["inputs.G"],
+            "out_keys": ["G"],
+        },
+        "mp": {
+            "module": ChempropBlock(
+                hidden_dim=hidden_dim,
+                depth=depth,
+                dropout=dropout,
+                dtype=dtype,
+                psum_axis=graph_axis,
+            ),
+            "in_keys": ["embed.G"],
+            "out_keys": ["G"],
+        },
+        "readout": {
+            "module": AGGREGATIONS[aggregation](),
+            "in_keys": ["readout_in"],
+            "out_keys": ["H"],
+        },
+        "ffn": {
+            "module": MLP(
+                input_dim=hidden_dim,
+                output_size=output_size,
+                hidden_dim=hidden_dim,
+                num_layers=ffn_layers,
+                dropout=dropout,
+                dtype=dtype,
+            ),
+            "in_keys": ["readout.H"],
+            "out_keys": ["preds"],
+        },
+    }
+    # readout reads the message-passed graph
+    modules["readout"]["in_keys"] = ["mp.G"]
+
+    loss_fn = _LOSSES[task]()
+    losses = {
+        task if task != "regression" else "mse": {
+            "fn": loss_fn,
+            "in_keys": {
+                "preds": "ffn.preds",
+                "targets": target_key,
+                "mask": f"{target_key}_mask",
+            },
+            "weight": 1.0,
+        }
+    }
+
+    default_metrics = {}
+    if task == "regression":
+        default_metrics = {
+            "rmse": {
+                "fn": M.RMSE(),
+                "in_keys": {
+                    "preds": "ffn.preds",
+                    "targets": target_key,
+                    "mask": f"{target_key}_mask",
+                },
+            },
+            "mae": {
+                "fn": M.MAE(),
+                "in_keys": {
+                    "preds": "ffn.preds",
+                    "targets": target_key,
+                    "mask": f"{target_key}_mask",
+                },
+            },
+        }
+
+    return Model(
+        modules=modules,
+        losses=losses,
+        metrics=metrics if metrics is not None else default_metrics,
+        transforms=transforms,
+        optimizer=optimizer if optimizer is not None else optax.adam(learning_rate),
+    )

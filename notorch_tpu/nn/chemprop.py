@@ -31,12 +31,22 @@ from notorch_tpu.nn.ops import segment_reduce
 
 
 class ChempropLayer(nn.Module):
+    """One D-MPNN layer.
+
+    ``psum_axis``: when the batched graph's *edges* are sharded over a mesh
+    axis (nodes replicated — edge partitioning, the graph analog of context
+    parallelism), set this to that axis name: the local E->V reduction is
+    combined across shards with an ICI ``psum`` before the V->E gather, which
+    is exactly the boundary/halo exchange of the partitioned message passing.
+    """
+
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     act: Callable = nn.relu
     bias: bool = True
     dropout: float = 0.0
     reduce: str = "sum"
     dtype: Any = jnp.float32
+    psum_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -47,6 +57,7 @@ class ChempropLayer(nn.Module):
     ) -> jnp.ndarray:
         messages = self.act(edge_hiddens)
         node_messages = segment_reduce(messages, G.dst, G.num_nodes, self.reduce)
+        node_messages = _cross_shard_combine(node_messages, self.reduce, self.psum_axis)
         edge_messages = node_messages[G.src] - messages[G.rev]
         out = nn.Dense(self.hidden_dim, use_bias=self.bias, dtype=self.dtype, name="update")(
             edge_messages
@@ -64,23 +75,25 @@ class ChempropBlock(nn.Module):
     shared: bool = False
     reduce: str = "sum"
     dtype: Any = jnp.float32
+    psum_axis: str | None = None
 
     @nn.compact
     def __call__(self, G: BatchedGraph, training: bool = False) -> BatchedGraph:
         edge_hiddens = G.node_feats[G.src] + G.edge_feats
 
+        kw = dict(
+            act=self.act,
+            bias=self.bias,
+            dropout=self.dropout,
+            reduce=self.reduce,
+            dtype=self.dtype,
+            psum_axis=self.psum_axis,
+        )
         if self.shared:
-            layer = ChempropLayer(
-                self.hidden_dim, self.act, self.bias, self.dropout, self.reduce, self.dtype,
-                name="layer",
-            )
-            layers = [layer] * self.depth
+            layers = [ChempropLayer(self.hidden_dim, name="layer", **kw)] * self.depth
         else:
             layers = [
-                ChempropLayer(
-                    self.hidden_dim, self.act, self.bias, self.dropout, self.reduce, self.dtype,
-                    name=f"layer_{i}",
-                )
+                ChempropLayer(self.hidden_dim, name=f"layer_{i}", **kw)
                 for i in range(self.depth)
             ]
 
@@ -89,4 +102,17 @@ class ChempropBlock(nn.Module):
             edge_hiddens = edge_hiddens + out if self.residual else out
 
         node_hiddens = segment_reduce(edge_hiddens, G.dst, G.num_nodes, self.reduce)
+        node_hiddens = _cross_shard_combine(node_hiddens, self.reduce, self.psum_axis)
         return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
+
+
+def _cross_shard_combine(node_values, reduce: str, axis: str | None):
+    if axis is None:
+        return node_values
+    import jax
+
+    if reduce == "sum":
+        return jax.lax.psum(node_values, axis)
+    if reduce == "max":
+        return jax.lax.pmax(node_values, axis)
+    raise NotImplementedError(f"edge-partitioned reduce={reduce!r} (use sum or max)")

@@ -1,0 +1,171 @@
+"""SPMD training: data-parallel + edge-partitioned steps under shard_map.
+
+Replaces what the reference would get from Lightning DDP/NCCL (it configures
+none — SURVEY §2.2) with mesh collectives over ICI: gradients ``psum`` across
+the mesh, the edge-partitioned message passing ``psum``s node messages across
+the ``graph`` axis inside the forward (see ``ChempropLayer.psum_axis``).
+
+Gradient exactness: with edge sharding, post-message-passing computation
+(readout/head/loss) is replicated across the graph axis. The loss is gated to
+graph-shard 0, which makes a uniform ``psum`` of gradients over BOTH axes
+exactly equal to the unsharded gradients: the ``psum`` in the forward
+broadcasts the full cotangent to every shard's local edge path (partial
+grads sum to the total), while replicated-path grads are nonzero only on
+shard 0 (counted once).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from notorch_tpu.model.model import EPS, Model, TrainState
+
+__all__ = ["SpmdTrainer"]
+
+
+def _squeeze_leading(tree, n: int):
+    return jax.tree.map(lambda x: x.reshape(x.shape[n:]), tree)
+
+
+class SpmdTrainer:
+    """Wrap a :class:`Model` with a shard_map-ped train step.
+
+    Batches come from :func:`notorch_tpu.parallel.partition.build_spmd_batch`
+    with every leaf shaped ``[n_data, n_edge_shards, ...]``. Params are
+    replicated; if ``graph_axis`` is used the model's message-passing blocks
+    must be built with ``psum_axis=graph_axis``.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        mesh: Mesh,
+        data_axis: str = "data",
+        graph_axis: str | None = None,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.graph_axis = graph_axis
+        axes = (data_axis,) + ((graph_axis,) if graph_axis else ())
+        batch_spec = P(data_axis, graph_axis) if graph_axis else P(data_axis, None)
+
+        def local_train_step(state: TrainState, batch):
+            batch = _squeeze_leading(batch, 2)
+            rng = jax.random.fold_in(state.rng, jax.lax.axis_index(data_axis))
+            rng, dropout_rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                out = model.network.apply(
+                    {"params": params}, dict(batch), training=True,
+                    rngs={"dropout": dropout_rng},
+                )
+                out = model._apply_transforms(out, "targets")
+                terms = model._loss_terms(out)
+                total = sum(
+                    model.train_loss_weights.get(name, EPS) * v for name, v in terms.items()
+                )
+                if graph_axis is not None:
+                    # count the replicated tail exactly once (see module doc)
+                    gate = (jax.lax.axis_index(graph_axis) == 0).astype(total.dtype)
+                    total = total * gate
+                    terms = {k: v * gate for k, v in terms.items()}
+                return total, terms
+
+            (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            # mean over data shards, sum over edge shards
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            terms = jax.lax.pmean(terms, data_axis)
+            if graph_axis is not None:
+                grads = jax.lax.psum(grads, graph_axis)
+                loss = jax.lax.psum(loss, graph_axis)
+                terms = jax.lax.psum(terms, graph_axis)
+
+            updates, opt_state = model.optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1, rng=rng
+            )
+            logs = {f"train/{k}": v for k, v in terms.items()}
+            logs["train/loss"] = loss
+            return new_state, logs
+
+        sharded = shard_map(
+            local_train_step,
+            mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        self._train_step = jax.jit(sharded, donate_argnums=0)
+
+        def local_eval_step(params, batch):
+            batch = _squeeze_leading(batch, 2)
+            out = model.network.apply({"params": params}, dict(batch), training=False)
+            out = model._apply_transforms(out, "targets")
+            terms = model._loss_terms(out)
+            terms.update(model._metric_terms(out))
+            if graph_axis is not None:
+                gate = (jax.lax.axis_index(graph_axis) == 0).astype(jnp.float32)
+                terms = {k: v * gate for k, v in terms.items()}
+                terms = jax.lax.psum(terms, graph_axis)
+            return jax.lax.pmean(terms, data_axis)
+
+        self._eval_step = jax.jit(
+            shard_map(
+                local_eval_step,
+                mesh=mesh,
+                in_specs=(P(), batch_spec),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
+    def init(self, rng: jax.Array, stacked_batch) -> TrainState:
+        """Initialize params (replicated). Runs inside shard_map so the
+        model's collective axes are bound during the init trace."""
+        params_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+        axes = (self.data_axis,) + ((self.graph_axis,) if self.graph_axis else ())
+        batch_spec = (
+            P(self.data_axis, self.graph_axis)
+            if self.graph_axis
+            else P(self.data_axis, None)
+        )
+
+        def local_init(batch):
+            batch = _squeeze_leading(batch, 2)
+            variables = self.model.network.init(
+                {"params": params_rng, "dropout": dropout_rng}, dict(batch), training=True
+            )
+            return variables["params"]
+
+        params = jax.jit(
+            shard_map(
+                local_init,
+                mesh=self.mesh,
+                in_specs=(batch_spec,),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )(stacked_batch)
+        opt_state = self.model.optimizer.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+        )
+
+    def train_step(self, state: TrainState, stacked_batch):
+        return self._train_step(state, stacked_batch)
+
+    def eval_step(self, params, stacked_batch):
+        return self._eval_step(params, stacked_batch)

@@ -1,0 +1,163 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh.
+
+The key gate (SURVEY §4): sharded and single-device steps produce identical
+losses and identical updated parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from notorch_tpu.data.graph import pad_graphs
+from notorch_tpu.models.dmpnn import build_dmpnn
+from notorch_tpu.parallel.mesh import make_mesh
+from notorch_tpu.parallel.partition import build_spmd_batch, shard_graph_edges
+from notorch_tpu.parallel.spmd import SpmdTrainer
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+PIPE = Pipeline(SmiToMol(), MolToGraph())
+
+SMIS = [
+    "CCO",
+    "c1ccccc1",
+    "CC(=O)Nc1ccc(O)cc1",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "c1ccc2c(c1)cccc2",
+    "NC(=O)c1ccccc1",
+    "OCC(O)CO",
+    "ClCC(Cl)CCl",
+]
+
+
+def _groups(n_data, per):
+    graphs = [PIPE(s) for s in SMIS]
+    return [graphs[i * per : (i + 1) * per] for i in range(n_data)]
+
+
+def _targets(n_data, per, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"y": rng.normal(size=(n_data, per, 1)).astype(np.float32)}
+
+
+def test_shard_graph_edges_invariants():
+    graphs = [PIPE(s) for s in SMIS[:4]]
+    bg = pad_graphs(graphs, 64, 128, graph_cap=4, np_out=True)
+    shards = shard_graph_edges(bg, 4)
+    assert all(s.num_edges == 32 for s in shards)
+    # every shard's rev is a local involution
+    for s in shards:
+        r = np.asarray(s.rev)
+        assert ((r >= 0) & (r < 32)).all()
+        assert (r[r] == np.arange(32)).all()
+    # reassembling edge masks gives the original
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(s.edge_mask) for s in shards]), np.asarray(bg.edge_mask)
+    )
+
+
+@pytest.mark.multihost
+def test_data_parallel_matches_single_device():
+    n_data, per = 4, 2
+    mesh = make_mesh({"data": n_data}, devices=jax.devices()[:n_data])
+    model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+    trainer = SpmdTrainer(model, mesh, data_axis="data")
+
+    groups = _groups(n_data, per)
+    targets = _targets(n_data, per)
+    batch = build_spmd_batch(groups, targets, node_cap=64, edge_cap=64, graph_cap=per)
+
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    params0 = jax.tree.map(np.asarray, state.params)
+    state, logs = trainer.train_step(state, batch)
+
+    # single-device reference: same params, mean of per-shard losses
+    ref_losses = []
+    ref_grads = None
+    for gi in range(n_data):
+        bg = pad_graphs(groups[gi], 64, 64, graph_cap=per)
+        rows = targets["y"][gi]
+        single = {
+            "inputs.G": bg,
+            "targets.y": jnp.asarray(np.nan_to_num(rows)),
+            "targets.y_mask": jnp.asarray(~np.isnan(rows)),
+        }
+
+        def loss_fn(params):
+            out = model.network.apply({"params": params}, dict(single), training=True,
+                                      rngs={"dropout": jax.random.PRNGKey(1)})
+            terms = model._loss_terms(out)
+            return sum(terms.values())
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            jax.tree.map(jnp.asarray, params0)
+        )
+        ref_losses.append(float(loss))
+        grads = jax.tree.map(np.asarray, grads)
+        ref_grads = grads if ref_grads is None else jax.tree.map(np.add, ref_grads, grads)
+
+    np.testing.assert_allclose(float(logs["train/loss"]), np.mean(ref_losses), rtol=1e-5)
+    # sgd(1e-2): delta params = -lr * mean(grads)
+    mean_grads = jax.tree.map(lambda g: g / n_data, ref_grads)
+    expected = jax.tree.map(lambda p, g: p - 1e-2 * g, params0, mean_grads)
+    actual = jax.tree.map(np.asarray, state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6), actual, expected
+    )
+
+
+@pytest.mark.multihost
+def test_edge_partition_matches_single_device():
+    """dp x graph-partition (2x2): losses and updates equal the unsharded run."""
+    n_data, per, n_shards = 2, 2, 2
+    mesh = make_mesh(
+        {"data": n_data, "graph": n_shards}, devices=jax.devices()[: n_data * n_shards]
+    )
+    model_sharded = build_dmpnn(
+        hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), graph_axis="graph"
+    )
+    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+    trainer = SpmdTrainer(model_sharded, mesh, data_axis="data", graph_axis="graph")
+
+    groups = _groups(n_data, per)
+    targets = _targets(n_data, per)
+    batch = build_spmd_batch(
+        groups, targets, node_cap=64, edge_cap=64, graph_cap=per, n_edge_shards=n_shards
+    )
+
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    params0 = jax.tree.map(np.asarray, state.params)
+    state, logs = trainer.train_step(state, batch)
+
+    ref_losses = []
+    ref_grads = None
+    for gi in range(n_data):
+        bg = pad_graphs(groups[gi], 64, 64, graph_cap=per)
+        rows = targets["y"][gi]
+        single = {
+            "inputs.G": bg,
+            "targets.y": jnp.asarray(np.nan_to_num(rows)),
+            "targets.y_mask": jnp.asarray(~np.isnan(rows)),
+        }
+
+        def loss_fn(params):
+            out = model_single.network.apply(
+                {"params": params}, dict(single), training=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+            terms = model_single._loss_terms(out)
+            return sum(terms.values())
+
+        loss, grads = jax.value_and_grad(loss_fn)(jax.tree.map(jnp.asarray, params0))
+        ref_losses.append(float(loss))
+        grads = jax.tree.map(np.asarray, grads)
+        ref_grads = grads if ref_grads is None else jax.tree.map(np.add, ref_grads, grads)
+
+    np.testing.assert_allclose(float(logs["train/loss"]), np.mean(ref_losses), rtol=1e-5)
+    mean_grads = jax.tree.map(lambda g: g / n_data, ref_grads)
+    expected = jax.tree.map(lambda p, g: p - 1e-2 * g, params0, mean_grads)
+    actual = jax.tree.map(np.asarray, state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6), actual, expected
+    )

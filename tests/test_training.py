@@ -1,0 +1,131 @@
+"""End-to-end training tests, modeled on the reference's integration strategy
+(reference tests/integration/test_regression.py): a fast smoke run, an
+overfit-memorization gate, and a real-dataset accuracy gate (marked long).
+"""
+
+import csv
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from notorch_tpu.data.batching import DataLoader, Subset, random_split
+from notorch_tpu.data.dataset import MolecularDataset, TargetSpec
+from notorch_tpu.models.dmpnn import build_dmpnn
+from notorch_tpu.training.loop import evaluate, fit
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _dataset(smis, targets):
+    from notorch_tpu.data.dataset import TransformManager
+
+    df = {"smiles": smis, "y": targets}
+    return MolecularDataset(
+        df,
+        transforms={
+            "graph": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles")
+        },
+        targets={"y": TargetSpec(columns=["y"], task="regression")},
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny(smis):
+    rng = np.random.default_rng(42)
+    smis = smis[:16]
+    ys = rng.normal(size=len(smis))
+    return _dataset(smis, ys)
+
+
+def test_smoke_one_step(tiny):
+    """fast_dev_run equivalent: one train step + one eval step run at all."""
+    model = build_dmpnn(hidden_dim=32, depth=2)
+    loader = DataLoader(tiny, batch_size=16)
+    batch = next(iter(loader))
+    state = model.init(jax.random.PRNGKey(0), batch)
+    state, logs = model.train_step(state, batch)
+    assert np.isfinite(float(logs["train/loss"]))
+    val_logs, _ = model.eval_step(state.params, batch)
+    assert np.isfinite(float(val_logs["val/loss"]))
+
+
+def test_overfit_random_targets(tiny):
+    """The main correctness gate (reference test_regression.py:67-93):
+    memorize 16 random targets to MSE <= 1e-3."""
+    import optax
+
+    model = build_dmpnn(hidden_dim=64, depth=3, optimizer=optax.adam(5e-3))
+    loader = DataLoader(tiny, batch_size=16)
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    result = fit(model, state, loader, epochs=300)
+    final = result.history[-1]
+    assert final["train/mse"] <= 1e-3, f"failed to overfit: {final}"
+
+
+def test_train_with_normalization(tiny):
+    """Target normalization flows from dataset stats into the step."""
+    transforms = tiny.build_task_transform_configs()
+    transforms["y"]["preds"]["key"] = "ffn.preds"
+    model = build_dmpnn(hidden_dim=32, depth=2, transforms=transforms)
+    loader = DataLoader(tiny, batch_size=16)
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    result = fit(model, state, loader, epochs=3)
+    assert np.isfinite(result.history[-1]["train/loss"])
+
+
+def test_bucketing_recompile_bound(smis):
+    """Batches of different sizes land on a small set of padded shapes."""
+    rng = np.random.default_rng(0)
+    ds = _dataset(smis, rng.normal(size=len(smis)))
+    loader = DataLoader(ds, batch_size=10)
+    shapes = set()
+    for batch in loader:
+        G = batch["inputs.G"]
+        shapes.add((G.num_nodes, G.num_edges))
+    assert len(shapes) <= 4, shapes
+
+
+@pytest.mark.long
+def test_lipo_rmse(lipo_rows):
+    """Real-dataset gate (reference test_regression.py:96-136): 30 epochs on
+    Lipophilicity, 80/10/10 split, test RMSE <= 0.8."""
+    import optax
+
+    from notorch_tpu.training.schedulers import noam_like_schedule
+
+    smis = [r[0] for r in lipo_rows]
+    ys = [r[1] for r in lipo_rows]
+    ds = _dataset(smis, ys)
+    train_idx, val_idx, test_idx = random_split(len(ds), (0.8, 0.1, 0.1), seed=0)
+    train, test = Subset(ds, train_idx), Subset(ds, test_idx)
+
+    transforms = train.build_task_transform_configs()
+    transforms["y"]["preds"]["key"] = "ffn.preds"
+
+    epochs = 30
+    batch_size = 64
+    steps_per_epoch = -(-len(train) // batch_size)
+    sched = noam_like_schedule(
+        warmup_steps=2 * steps_per_epoch,
+        cooldown_steps=(epochs - 2) * steps_per_epoch,
+        init_lr=1e-4,
+        max_lr=1e-3,
+        final_lr=1e-4,
+    )
+    model = build_dmpnn(
+        hidden_dim=256, depth=3, transforms=transforms, optimizer=optax.adam(sched)
+    )
+
+    train_loader = DataLoader(train, batch_size=batch_size, shuffle=True, seed=0)
+    test_loader = DataLoader(test, batch_size=batch_size)
+    state = model.init(jax.random.PRNGKey(0), next(iter(train_loader)))
+    result = fit(model, state, train_loader, epochs=epochs)
+
+    logs = evaluate(model, result.state.params, test_loader)
+    # val/rmse is computed in normalized space; undo with the training std
+    std = transforms["y"]["targets"]["module"].scale[0]
+    rmse = logs["val/rmse"] * std
+    assert rmse <= 0.8, f"lipo RMSE {rmse:.3f} > 0.8"
