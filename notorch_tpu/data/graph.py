@@ -131,6 +131,7 @@ class BatchedGraph(struct.PyTreeNode):
     node_mask: jnp.ndarray  # [V_cap] bool
     edge_mask: jnp.ndarray  # [E_cap] bool
     num_graphs_real: jnp.ndarray  # [] i32
+    in_edges: jnp.ndarray | None = None  # [V_cap, K] incoming edge ids, pad=E_cap
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
     @property
@@ -147,6 +148,31 @@ class BatchedGraph(struct.PyTreeNode):
 
     def update(self, **kwargs) -> "BatchedGraph":
         return self.replace(**kwargs)
+
+
+def build_in_edges(
+    dst: np.ndarray, edge_mask: np.ndarray, node_cap: int, min_k: int = 8
+) -> np.ndarray:
+    """Fixed-degree incoming-edge table: ``out[v, k]`` = id of the k-th edge
+    with ``dst == v``, padded with ``E_cap`` (a sentinel row of zeros in the
+    extended message array).
+
+    This turns the E->V segment reduction into a dense take-and-sum — no
+    scatter at all — which is the TPU-friendly layout: molecular graphs have
+    max degree <= ~6, so K is a small static constant.
+    """
+    E = len(dst)
+    real = np.nonzero(np.asarray(edge_mask))[0]
+    d = np.asarray(dst)[real]
+    order = np.argsort(d, kind="stable")
+    d_sorted = d[order]
+    e_sorted = real[order].astype(np.int32)
+    starts = np.searchsorted(d_sorted, np.arange(node_cap))
+    pos = np.arange(len(d_sorted)) - starts[d_sorted]
+    K = max(min_k, int(pos.max()) + 1 if len(pos) else 1)
+    out = np.full((node_cap, K), E, dtype=np.int32)
+    out[d_sorted, pos] = e_sorted
+    return out
 
 
 def bucket_caps(
@@ -228,5 +254,6 @@ def pad_graphs(
         node_mask=conv(node_mask),
         edge_mask=conv(edge_mask),
         num_graphs_real=conv(np.asarray(n_graphs, dtype=np.int32)),
+        in_edges=conv(build_in_edges(dst, edge_mask, node_cap)),
         n_graphs=graph_cap,
     )

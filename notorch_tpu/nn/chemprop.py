@@ -47,6 +47,7 @@ class ChempropLayer(nn.Module):
     reduce: str = "sum"
     dtype: Any = jnp.float32
     psum_axis: str | None = None
+    impl: str = "gather"  # "gather" (dense in_edges take-sum) | "segment"
 
     @nn.compact
     def __call__(
@@ -56,7 +57,7 @@ class ChempropLayer(nn.Module):
         training: bool = False,
     ) -> jnp.ndarray:
         messages = self.act(edge_hiddens)
-        node_messages = segment_reduce(messages, G.dst, G.num_nodes, self.reduce)
+        node_messages = _node_reduce(messages, G, self.reduce, self.impl)
         node_messages = _cross_shard_combine(node_messages, self.reduce, self.psum_axis)
         edge_messages = node_messages[G.src] - messages[G.rev]
         out = nn.Dense(self.hidden_dim, use_bias=self.bias, dtype=self.dtype, name="update")(
@@ -76,6 +77,7 @@ class ChempropBlock(nn.Module):
     reduce: str = "sum"
     dtype: Any = jnp.float32
     psum_axis: str | None = None
+    impl: str = "gather"
 
     @nn.compact
     def __call__(self, G: BatchedGraph, training: bool = False) -> BatchedGraph:
@@ -88,6 +90,7 @@ class ChempropBlock(nn.Module):
             reduce=self.reduce,
             dtype=self.dtype,
             psum_axis=self.psum_axis,
+            impl=self.impl,
         )
         if self.shared:
             layers = [ChempropLayer(self.hidden_dim, name="layer", **kw)] * self.depth
@@ -101,9 +104,24 @@ class ChempropBlock(nn.Module):
             out = layer(edge_hiddens, G, training=training)
             edge_hiddens = edge_hiddens + out if self.residual else out
 
-        node_hiddens = segment_reduce(edge_hiddens, G.dst, G.num_nodes, self.reduce)
+        node_hiddens = _node_reduce(edge_hiddens, G, self.reduce, self.impl)
         node_hiddens = _cross_shard_combine(node_hiddens, self.reduce, self.psum_axis)
         return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
+
+
+def _node_reduce(messages, G: BatchedGraph, reduce: str, impl: str):
+    """E -> V reduction: dense fixed-degree gather (scatter-free, the TPU
+    fast path) or XLA segment ops."""
+    if impl == "gather" and G.in_edges is not None and reduce in ("sum", "mean", "max"):
+        ext = jnp.concatenate([messages, jnp.zeros_like(messages[:1])], axis=0)
+        gathered = ext[G.in_edges]  # [V, K, d]
+        if reduce == "sum":
+            return gathered.sum(axis=1)
+        valid = (G.in_edges < messages.shape[0])[..., None]
+        if reduce == "mean":
+            return gathered.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+        return jnp.where(valid, gathered, -jnp.inf).max(axis=1).clip(min=0.0)
+    return segment_reduce(messages, G.dst, G.num_nodes, reduce)
 
 
 def _cross_shard_combine(node_values, reduce: str, axis: str | None):

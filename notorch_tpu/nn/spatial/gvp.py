@@ -1,0 +1,253 @@
+"""Geometric Vector Perceptrons (GVP) and the GVP graph stack.
+
+Capability parity: reference ``notorch/nn/spatial/gvp/layers.py`` and
+``gvp/conv.py`` (arXiv:2106.03843), with its ctor/cat-dim/branch bugs fixed:
+
+- :class:`GVP` / :class:`GatedGVP`: rotation-equivariant (scalar, vector)
+  feature transforms;
+- rotation-safe ChannelDropout / Dropout / LayerNorm for dual-rank tuples;
+- :class:`GvpConv`: static-K radius neighborhoods -> RBF + unit-vector edge
+  features -> stacked-GVP messages -> masked neighborhood mean -> residual +
+  LayerNorm;
+- :class:`GvpGNNLayer` / :class:`GvpGNNBlock`: conv + update stacks.
+
+Dual-rank features are a ``(scalars [N, ds], vectors [N, 3, dv])`` tuple (the
+reference's ``DualRankFeatures``, data/models/gvp.py:16).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from notorch_tpu.data.point_cloud import BatchedPointCloud
+from notorch_tpu.nn.rbf import RBFEmbedding
+from notorch_tpu.nn.spatial.neighbors import radius_neighbors
+
+EPS = 1e-8
+
+
+def _norm(v: jnp.ndarray, axis: int = -2, keepdims: bool = False) -> jnp.ndarray:
+    return jnp.sqrt((v**2).sum(axis=axis, keepdims=keepdims) + EPS)
+
+
+class GVP(nn.Module):
+    """Plain geometric vector perceptron (reference gvp/layers.py:11-49).
+
+    scalars' update sees the vector norms; vectors are mixed channel-wise
+    (rotation-equivariant) and gated by their new norms' nonlinearity.
+    """
+
+    out_scalar: int
+    out_vector: int
+    hidden_vector: int | None = None
+    scalar_act: Callable = nn.relu
+    vector_act: Callable | None = jax.nn.sigmoid
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sv: tuple[jnp.ndarray, jnp.ndarray], training: bool = False):
+        s, v = sv  # [*, ds], [*, 3, dv]
+        h = self.hidden_vector or max(v.shape[-1], self.out_vector)
+
+        v_h = nn.Dense(h, use_bias=False, dtype=self.dtype, name="W_h")(v)  # [*, 3, h]
+        v_mu = nn.Dense(self.out_vector, use_bias=False, dtype=self.dtype, name="W_mu")(v_h)
+
+        s_in = jnp.concatenate([s, _norm(v_h)], axis=-1)
+        s_out = nn.Dense(self.out_scalar, dtype=self.dtype, name="W_m")(s_in)
+        s_out = self.scalar_act(s_out)
+
+        if self.vector_act is not None:
+            gate = self.vector_act(_norm(v_mu, keepdims=True))
+            v_out = v_mu * gate
+        else:
+            v_out = v_mu
+        return s_out, v_out
+
+
+class GatedGVP(nn.Module):
+    """Gated GVP variant (reference gvp/layers.py:52-114): vector gate from
+    the scalar path."""
+
+    out_scalar: int
+    out_vector: int
+    hidden_vector: int | None = None
+    scalar_act: Callable = nn.relu
+    vector_act: Callable | None = jax.nn.sigmoid
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sv: tuple[jnp.ndarray, jnp.ndarray], training: bool = False):
+        s, v = sv
+        h = self.hidden_vector or max(v.shape[-1], self.out_vector)
+
+        v_h = nn.Dense(h, use_bias=False, dtype=self.dtype, name="W_h")(v)
+        v_mu = nn.Dense(self.out_vector, use_bias=False, dtype=self.dtype, name="W_mu")(v_h)
+
+        s_in = jnp.concatenate([s, _norm(v_h)], axis=-1)
+        s_mid = nn.Dense(self.out_scalar, dtype=self.dtype, name="W_m")(s_in)
+        s_out = self.scalar_act(s_mid)
+
+        gate = nn.Dense(self.out_vector, dtype=self.dtype, name="W_g")(s_mid)
+        if self.vector_act is not None:
+            gate = self.vector_act(gate)
+        v_out = v_mu * gate[..., None, :]
+        return s_out, v_out
+
+
+class DualRankLayerNorm(nn.Module):
+    """LayerNorm for (scalar, vector) tuples: standard LN on scalars, RMS
+    normalization of vector norms (rotation-safe; reference layers.py:150)."""
+
+    @nn.compact
+    def __call__(self, sv, training: bool = False):
+        s, v = sv
+        s = nn.LayerNorm(name="scalar_ln")(s)
+        norms2 = (v**2).sum(axis=-2, keepdims=True)  # [*, 1, dv]
+        rms = jnp.sqrt(norms2.mean(axis=-1, keepdims=True) + EPS)
+        return s, v / rms
+
+
+class DualRankDropout(nn.Module):
+    """Rotation-safe dropout: scalars element-wise, vectors channel-wise
+    (a dropped vector channel zeroes all 3 components; reference
+    layers.py:117-147)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, sv, training: bool = False):
+        s, v = sv
+        s = nn.Dropout(self.rate, deterministic=not training)(s)
+        if self.rate > 0.0 and training:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.rate, v.shape[:-2] + (1, v.shape[-1]))
+            v = jnp.where(keep, v / (1.0 - self.rate), 0.0)
+        return s, v
+
+
+class GvpConv(nn.Module):
+    """GVP message passing over static-K radius neighborhoods
+    (reference gvp/conv.py:16-127)."""
+
+    scalar_dim: int
+    vector_dim: int
+    radius: float = 5.0
+    max_neighbors: int = 16
+    num_bases: int = 16
+    num_message_gvps: int = 3
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sv: tuple[jnp.ndarray, jnp.ndarray],
+        P: BatchedPointCloud,
+        training: bool = False,
+    ):
+        s, v = sv  # [N, ds], [N, 3, dv]
+        nbrs, mask, dists = radius_neighbors(
+            P.coords, P.batch_index, self.radius, self.max_neighbors
+        )
+        # edge features: RBF distances (scalar) + unit displacement (vector)
+        rbf = RBFEmbedding(0.0, self.radius, self.num_bases)(dists)  # [N, K, nb]
+        disp = P.coords[nbrs] - P.coords[:, None, :]  # [N, K, 3]
+        unit = disp / _norm(disp, axis=-1, keepdims=True)  # [N, K, 3]
+
+        # message inputs: dest scalars + src scalars + rbf | dest/src vectors + unit
+        s_j = s[nbrs]  # [N, K, ds]
+        v_j = v[nbrs]  # [N, K, 3, dv]
+        s_in = jnp.concatenate(
+            [jnp.broadcast_to(s[:, None], s_j.shape), s_j, rbf], axis=-1
+        )
+        v_in = jnp.concatenate(
+            [jnp.broadcast_to(v[:, None], v_j.shape), v_j, unit[..., None]], axis=-1
+        )
+
+        msg = (s_in, v_in)
+        for i in range(self.num_message_gvps):
+            last = i == self.num_message_gvps - 1
+            msg = GatedGVP(
+                self.scalar_dim,
+                self.vector_dim,
+                vector_act=None if last else jax.nn.sigmoid,
+                dtype=self.dtype,
+                name=f"message_{i}",
+            )(msg, training=training)
+
+        msg = DualRankDropout(self.dropout, name="dropout")(msg, training=training)
+        ms, mv = msg
+        fmask = mask[..., None].astype(ms.dtype)
+        denom = jnp.maximum(mask.sum(axis=1), 1)[:, None].astype(ms.dtype)
+        agg_s = (ms * fmask).sum(axis=1) / denom
+        agg_v = (mv * fmask[..., None, :] * 1.0).sum(axis=1) / denom[..., None]
+
+        # residual + LayerNorm (conv.py:123-127)
+        out = DualRankLayerNorm(name="ln")((s + agg_s, v + agg_v))
+        return out
+
+
+class GvpGNNLayer(nn.Module):
+    """conv + pointwise update GVPs (reference gvp/conv.py:130-176)."""
+
+    scalar_dim: int
+    vector_dim: int
+    radius: float = 5.0
+    max_neighbors: int = 16
+    num_update_gvps: int = 2
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sv, P: BatchedPointCloud, training: bool = False):
+        sv = GvpConv(
+            self.scalar_dim,
+            self.vector_dim,
+            self.radius,
+            self.max_neighbors,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="conv",
+        )(sv, P, training=training)
+        s, v = sv
+        upd = (s, v)
+        for i in range(self.num_update_gvps):
+            upd = GatedGVP(
+                self.scalar_dim, self.vector_dim, dtype=self.dtype, name=f"update_{i}"
+            )(upd, training=training)
+        us, uv = DualRankDropout(self.dropout, name="dropout")(upd, training=training)
+        return DualRankLayerNorm(name="ln")((s + us, v + uv))
+
+
+class GvpGNNBlock(nn.Module):
+    """N-layer GVP GNN over a point cloud (reference gvp/conv.py:180-221).
+    Input: embedded scalar features; vectors start at zero."""
+
+    scalar_dim: int = 128
+    vector_dim: int = 16
+    depth: int = 3
+    radius: float = 5.0
+    max_neighbors: int = 16
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, P: BatchedPointCloud, training: bool = False) -> BatchedPointCloud:
+        s = nn.Dense(self.scalar_dim, dtype=self.dtype, name="in_proj")(P.node_feats)
+        v = jnp.zeros(s.shape[:-1] + (3, self.vector_dim), s.dtype)
+        sv = (s, v)
+        for i in range(self.depth):
+            sv = GvpGNNLayer(
+                self.scalar_dim,
+                self.vector_dim,
+                self.radius,
+                self.max_neighbors,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(sv, P, training=training)
+        return P.update(node_feats=sv[0])

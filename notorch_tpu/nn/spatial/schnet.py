@@ -1,0 +1,101 @@
+"""SchNet: continuous-filter convolutions over 3D point clouds.
+
+Capability parity: reference ``notorch/nn/spatial/schnet.py:14-106``
+(ContinuousFilterConvolution -> InteractionLayer -> SchnetBlock), with its
+latent bugs fixed (unbound ``node_feats`` in the block forward, ctor arg-order
+swap). TPU-first: the dynamic ``radius_graph`` becomes the static-shape
+nearest-K neighbor list; the neighborhood sum is a masked reduce over the K
+axis — dense, no scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
+from notorch_tpu.data.point_cloud import BatchedPointCloud
+from notorch_tpu.nn.rbf import RBFEmbedding
+from notorch_tpu.nn.spatial.neighbors import radius_neighbors
+
+
+def shifted_softplus(x):
+    return jnp.logaddexp(x, 0.0) - jnp.log(2.0)
+
+
+class ContinuousFilterConvolution(nn.Module):
+    """W(r_ij) * h_j summed over the neighborhood (reference schnet.py:14-49)."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    radius: float = 5.0
+    max_neighbors: int = 32
+    num_bases: int = 16
+    act: Callable = shifted_softplus
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False
+    ) -> jnp.ndarray:
+        nbrs, mask, dists = radius_neighbors(
+            P.coords, P.batch_index, self.radius, self.max_neighbors
+        )
+        rbf = RBFEmbedding(0.0, self.radius, self.num_bases)(dists)  # [N, K, nb]
+        W = nn.Dense(self.hidden_dim, dtype=self.dtype, name="filter_0")(rbf)
+        W = self.act(W)
+        W = nn.Dense(self.hidden_dim, dtype=self.dtype, name="filter_1")(W)
+        W = self.act(W)
+
+        neighbor_feats = node_feats[nbrs]  # [N, K, d]
+        out = (W * neighbor_feats * mask[..., None].astype(node_feats.dtype)).sum(axis=1)
+        return out
+
+
+class InteractionLayer(nn.Module):
+    """atom-wise Dense -> CFConv -> Dense -> act -> Dense (schnet.py:52-80)."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    radius: float = 5.0
+    max_neighbors: int = 32
+    num_bases: int = 16
+    act: Callable = shifted_softplus
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False
+    ) -> jnp.ndarray:
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(node_feats)
+        h = ContinuousFilterConvolution(
+            self.hidden_dim, self.radius, self.max_neighbors, self.num_bases, self.act,
+            self.dtype, name="cfconv",
+        )(h, P, training=training)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj_0")(h)
+        h = self.act(h)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj_1")(h)
+        return h
+
+
+class SchnetBlock(nn.Module):
+    """Stack of residual interaction layers (schnet.py:83-106)."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    depth: int = 3
+    radius: float = 5.0
+    max_neighbors: int = 32
+    num_bases: int = 16
+    act: Callable = shifted_softplus
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, P: BatchedPointCloud, training: bool = False) -> BatchedPointCloud:
+        node_feats = P.node_feats
+        for i in range(self.depth):
+            delta = InteractionLayer(
+                self.hidden_dim, self.radius, self.max_neighbors, self.num_bases, self.act,
+                self.dtype, name=f"interaction_{i}",
+            )(node_feats, P, training=training)
+            node_feats = node_feats + delta  # residual (reference wraps in Residual)
+        return P.update(node_feats=node_feats)

@@ -37,9 +37,14 @@ def shard_graph_edges(bg: BatchedGraph, n_shards: int) -> list[BatchedGraph]:
     if per % 2 != 0:
         raise ValueError(f"per-shard edge count {per} must be even to keep rev pairs local")
 
+    from notorch_tpu.data.graph import build_in_edges
+
+    min_k = bg.in_edges.shape[1] if bg.in_edges is not None else 8
     shards = []
     for i in range(n_shards):
         sl = slice(i * per, (i + 1) * per)
+        dst = np.asarray(bg.dst[sl])
+        mask = np.asarray(bg.edge_mask[sl])
         shards.append(
             bg.replace(
                 edge_feats=bg.edge_feats[sl],
@@ -48,6 +53,8 @@ def shard_graph_edges(bg: BatchedGraph, n_shards: int) -> list[BatchedGraph]:
                 rev=bg.rev[sl] - i * per,
                 edge_graph=bg.edge_graph[sl],
                 edge_mask=bg.edge_mask[sl],
+                # per-shard incoming-edge table with shard-local edge ids
+                in_edges=build_in_edges(dst, mask, bg.num_nodes, min_k=min_k),
             )
         )
     return shards

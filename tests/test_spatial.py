@@ -1,0 +1,145 @@
+"""Spatial (3D) stack tests: neighbors, SchNet, GVP equivariance, PaiNN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from notorch_tpu.data.point_cloud import BatchedPointCloud, PointCloud, pad_point_clouds
+from notorch_tpu.nn.spatial import agg as sagg
+from notorch_tpu.nn.spatial.gvp import GVP, GatedGVP, GvpGNNBlock
+from notorch_tpu.nn.spatial.neighbors import radius_neighbors
+from notorch_tpu.nn.spatial.painn import GatedEquivariantBlock
+from notorch_tpu.nn.spatial.pointwise import PointwiseEmbed
+from notorch_tpu.nn.spatial.schnet import SchnetBlock
+
+
+def _clouds(rng, sizes=(5, 8)):
+    clouds = []
+    for n in sizes:
+        clouds.append(
+            PointCloud(
+                node_types=rng.integers(0, 10, size=(n, 1)).astype(np.int32),
+                coords=rng.normal(size=(n, 3)).astype(np.float32) * 2.0,
+            )
+        )
+    return pad_point_clouds(clouds, node_cap=16, graph_cap=3)
+
+
+def test_radius_neighbors_basic():
+    coords = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [10, 10, 10]], dtype=jnp.float32
+    )
+    batch = jnp.asarray([0, 0, 0, 1])
+    nbrs, mask, dists = radius_neighbors(coords, batch, radius=2.0, max_neighbors=3)
+    # point 0 sees points 1 and 2 (distance 1), never the other-graph point
+    assert mask[0].sum() == 2
+    assert set(np.asarray(nbrs[0][np.asarray(mask[0])]).tolist()) == {1, 2}
+    np.testing.assert_allclose(np.asarray(dists[0][np.asarray(mask[0])]), 1.0, rtol=1e-5)
+    # isolated point has no neighbors
+    assert mask[3].sum() == 0
+
+
+def test_radius_neighbors_nearest_k():
+    coords = jnp.asarray([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], dtype=jnp.float32)
+    batch = jnp.zeros(4, dtype=jnp.int32)
+    nbrs, mask, dists = radius_neighbors(coords, batch, radius=10.0, max_neighbors=2)
+    # nearest 2 for point 0 are 1 and 2
+    assert set(np.asarray(nbrs[0]).tolist()) == {1, 2}
+
+
+def test_schnet_forward(rng):
+    P = _clouds(rng)
+    embed = PointwiseEmbed(num_types=50, hidden_dim=32)
+    block = SchnetBlock(hidden_dim=32, depth=2, radius=5.0, max_neighbors=8)
+    key = jax.random.PRNGKey(0)
+    ev = embed.init(key, P)
+    P1 = embed.apply(ev, P)
+    bv = block.init(key, P1)
+    out = block.apply(bv, P1)
+    assert out.node_feats.shape == (16, 32)
+    assert np.isfinite(np.asarray(out.node_feats)).all()
+
+    # padding isolation: adding a second cloud must not change the first's feats
+    P_single = pad_point_clouds(
+        [PointCloud(np.asarray(P.node_feats)[:5], np.asarray(P.coords)[:5])],
+        node_cap=16,
+        graph_cap=3,
+    )
+    out_single = block.apply(bv, embed.apply(ev, P_single))
+    np.testing.assert_allclose(
+        np.asarray(out_single.node_feats)[:5], np.asarray(out.node_feats)[:5], rtol=2e-4, atol=1e-5
+    )
+
+
+def _random_rotation(rng):
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q.astype(np.float32)
+
+
+def test_gvp_equivariance(rng):
+    """Rotating input vectors rotates output vectors and fixes scalars."""
+    s = jnp.asarray(rng.normal(size=(7, 12)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(7, 3, 6)).astype(np.float32))
+    R = _random_rotation(rng)
+
+    for mod in [GVP(out_scalar=10, out_vector=4), GatedGVP(out_scalar=10, out_vector=4)]:
+        params = mod.init(jax.random.PRNGKey(0), (s, v))
+        s1, v1 = mod.apply(params, (s, v))
+        s2, v2 = mod.apply(params, (s, jnp.einsum("ij,njc->nic", R, v)))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jnp.einsum("ij,njc->nic", R, v1)), np.asarray(v2), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_gvp_gnn_rotation_invariance(rng):
+    """Rotating the whole point cloud leaves scalar outputs unchanged."""
+    P = _clouds(rng)
+    embed = PointwiseEmbed(num_types=50, hidden_dim=16)
+    block = GvpGNNBlock(scalar_dim=16, vector_dim=4, depth=2, radius=5.0, max_neighbors=8)
+    key = jax.random.PRNGKey(0)
+    ev = embed.init(key, P)
+    P1 = embed.apply(ev, P)
+    bv = block.init(key, P1)
+    out1 = block.apply(bv, P1)
+
+    R = _random_rotation(rng)
+    P_rot = P1.update(coords=P1.coords @ jnp.asarray(R).T)
+    out2 = block.apply(bv, P_rot)
+    mask = np.asarray(P.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out1.node_feats)[mask], np.asarray(out2.node_feats)[mask], rtol=5e-3, atol=1e-4
+    )
+
+
+def test_painn_geb_equivariance(rng):
+    s = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(5, 3, 6)).astype(np.float32))
+    mod = GatedEquivariantBlock(scalar_dim=8, vector_dim=6)
+    params = mod.init(jax.random.PRNGKey(0), (s, v))
+    R = _random_rotation(rng)
+    s1, v1 = mod.apply(params, (s, v))
+    s2, v2 = mod.apply(params, (s, jnp.einsum("ij,njc->nic", R, v)))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("ij,njc->nic", R, v1)), np.asarray(v2), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spatial_aggregations(rng):
+    P = _clouds(rng)
+    feats = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    P = P.update(node_feats=feats)
+    key = jax.random.PRNGKey(0)
+    out = sagg.Sum().apply(sagg.Sum().init(key, P), P)
+    assert out.shape == (3, 8)
+    bi = np.asarray(P.batch_index)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(feats)[bi == 0].sum(0), rtol=1e-5)
+    g = sagg.Gated(input_dim=8)
+    gv = g.init(key, P)
+    out_g = g.apply(gv, P)
+    assert np.isfinite(np.asarray(out_g)).all()
