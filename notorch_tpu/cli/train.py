@@ -1,0 +1,225 @@
+"""``notorch-tpu-train``: config-driven training entry point.
+
+Capability parity: reference ``notorch/cli/train.py`` (Hydra + OmegaConf +
+``notorch-train``). YAML/JSON config with dotted-key CLI overrides; datasets,
+model, losses, metrics, optimizer, and trainer are all declared in config;
+target transforms derive from TRAINING-split statistics exactly as the
+reference does (train.py:22-23). Supports both the prebuilt recipes
+(``model.kind: dmpnn``) and fully-declarative ``model.modules`` composition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+
+def load_config(path: str | Path) -> dict:
+    text = Path(path).read_text()
+    if str(path).endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def apply_overrides(cfg: dict, overrides: list[str]) -> dict:
+    """``a.b.c=value`` dotted-path overrides (values parsed as YAML)."""
+    import yaml
+
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        value = yaml.safe_load(raw)
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return cfg
+
+
+def build_dataset(cfg: dict):
+    import pandas as pd
+
+    from notorch_tpu.cli.registry import build
+    from notorch_tpu.data.dataset import MolecularDataset, TargetSpec, TransformManager
+
+    path = cfg["csv"]
+    df = pd.read_csv(path)
+
+    transforms = {}
+    for name, tcfg in (cfg.get("transforms") or _default_transforms(cfg)).items():
+        transform = build(tcfg["transform"]) if "transform" in tcfg else _smiles_pipeline()
+        transforms[name] = TransformManager(
+            transform, in_key=tcfg.get("in_key"), out_key=tcfg.get("out_key")
+        )
+
+    targets = {
+        name: TargetSpec(
+            columns=tc["columns"], task=tc.get("task", "regression"), weight=tc.get("weight", 1.0)
+        )
+        for name, tc in (cfg.get("targets") or {}).items()
+    }
+    return MolecularDataset(df, transforms=transforms, targets=targets)
+
+
+def _smiles_pipeline():
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    return Pipeline(SmiToMol(), MolToGraph())
+
+
+def _default_transforms(cfg: dict) -> dict:
+    return {"graph": {"in_key": cfg.get("smiles_col", "smiles"), "out_key": "G"}}
+
+
+def build_optimizer(cfg: dict | None):
+    import optax
+
+    from notorch_tpu.cli.registry import resolve
+    from notorch_tpu.training.schedulers import noam_like_schedule
+
+    cfg = cfg or {"name": "adam", "lr": 1e-4}
+    lr: Any = cfg.get("lr", 1e-4)
+    if isinstance(cfg.get("schedule"), dict):
+        s = cfg["schedule"]
+        if "noam" in s:
+            lr = noam_like_schedule(**s["noam"])
+        elif "cosine" in s:
+            lr = optax.cosine_decay_schedule(**s["cosine"])
+        elif "warmup_cosine" in s:
+            lr = optax.warmup_cosine_decay_schedule(**s["warmup_cosine"])
+    return resolve(cfg.get("name", "adam"))(lr)
+
+
+def build_model(cfg: dict, transforms: dict | None, optimizer):
+    from notorch_tpu.cli.registry import build
+    from notorch_tpu.model.model import Model
+
+    if "modules" in cfg:
+        modules = {
+            name: {
+                "module": build(m),
+                "in_keys": m["in_keys"],
+                "out_keys": m["out_keys"],
+            }
+            for name, m in cfg["modules"].items()
+        }
+        losses = {
+            name: {"fn": build(l), "in_keys": l["in_keys"], "weight": l.get("weight", 1.0)}
+            for name, l in cfg.get("losses", {}).items()
+        }
+        metrics = {
+            name: {"fn": build(m), "in_keys": m["in_keys"]}
+            for name, m in cfg.get("metrics", {}).items()
+        }
+        return Model(
+            modules=modules,
+            losses=losses,
+            metrics=metrics,
+            transforms=transforms,
+            optimizer=optimizer,
+        )
+
+    kind = cfg.get("kind", "dmpnn")
+    kwargs = {k: v for k, v in cfg.items() if k != "kind"}
+    if kind == "dmpnn":
+        from notorch_tpu.models.dmpnn import build_dmpnn
+
+        return build_dmpnn(transforms=transforms, optimizer=optimizer, **kwargs)
+    if kind == "multicomponent":
+        from notorch_tpu.models.multicomponent import build_multicomponent_dmpnn
+
+        return build_multicomponent_dmpnn(transforms=transforms, optimizer=optimizer, **kwargs)
+    raise ValueError(f"unknown model kind {kind!r}")
+
+
+def run(cfg: dict) -> dict:
+    import jax
+
+    from notorch_tpu.data.batching import DataLoader, Subset, random_split
+    from notorch_tpu.tasks import metrics as metrics_mod
+    from notorch_tpu.training.loop import evaluate, fit
+
+    trainer_cfg = cfg.get("trainer", {})
+    seed = trainer_cfg.get("seed", 0)
+
+    ds = build_dataset(cfg["data"])
+    split = cfg["data"].get("split")
+    if split:
+        fr = tuple(split.get("fractions", (0.8, 0.1, 0.1)))
+        idxs = random_split(len(ds), fr, seed=split.get("seed", 0))
+        train = Subset(ds, idxs[0])
+        val = Subset(ds, idxs[1]) if len(idxs) > 1 and len(idxs[1]) else None
+        test = Subset(ds, idxs[2]) if len(idxs) > 2 and len(idxs[2]) else None
+    else:
+        train, val, test = ds, None, None
+
+    transforms = train.build_task_transform_configs()
+    pred_key = cfg.get("model", {}).get("pred_key", "ffn.preds")
+    for t in transforms.values():
+        t["preds"]["key"] = pred_key
+
+    optimizer = build_optimizer(cfg.get("optimizer"))
+    model = build_model(cfg.get("model", {}), transforms, optimizer)
+
+    batch_size = trainer_cfg.get("batch_size", 64)
+    train_loader = DataLoader(train, batch_size=batch_size, shuffle=True, seed=seed)
+    val_loader = DataLoader(val, batch_size=batch_size) if val is not None else None
+
+    checkpointer = None
+    if trainer_cfg.get("checkpoint_dir"):
+        from notorch_tpu.training.checkpoint import Checkpointer
+
+        checkpointer = Checkpointer(
+            trainer_cfg["checkpoint_dir"], max_to_keep=trainer_cfg.get("max_to_keep", 3)
+        )
+
+    state = model.init(jax.random.PRNGKey(seed), next(iter(train_loader)))
+    result = fit(
+        model,
+        state,
+        train_loader,
+        val_loader,
+        epochs=trainer_cfg.get("epochs", 1),
+        log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
+        checkpointer=checkpointer,
+    )
+
+    out = {"history": result.history}
+    if test is not None:
+        test_loader = DataLoader(test, batch_size=batch_size)
+        out["test"] = evaluate(model, result.state.params, test_loader)
+        print(json.dumps({"test": {k: _jsonable(v) for k, v in out["test"].items()}}))
+    return out
+
+
+def _jsonable(v):
+    try:
+        return round(float(v), 6)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="notorch-tpu-train")
+    parser.add_argument("config", help="path to YAML/JSON config")
+    parser.add_argument("overrides", nargs="*", help="dotted-key overrides: a.b=val")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = apply_overrides(load_config(args.config), args.overrides)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

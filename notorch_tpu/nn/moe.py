@@ -1,0 +1,152 @@
+"""Mixture-of-Experts with dense and noisy-top-k sparse routing.
+
+Capability parity: reference ``notorch/nn/moe/moe.py`` and ``moe/routers.py``
+(with the ``for _ in num_experts`` and missing-super bugs fixed):
+
+- :class:`DenseRouter`: softmax routing + importance CV^2 auxiliary loss;
+- :class:`SparseRouter`: noisy top-k routing per Shazeer et al. 2017 with the
+  Normal-CDF load-balancing loss over ``kth_excluding``;
+- :class:`MixtureOfExperts`: experts run via a lifted ``nn.vmap`` over
+  stacked expert parameters — the TPU form of "N copies of the module":
+  one batched matmul per layer instead of N small ones, and the stacked
+  expert axis is the natural target for expert-parallel sharding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Type
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def cv_squared(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Squared coefficient of variation (reference nn/utils.py:5-8)."""
+    if x.shape[-1] <= 1:
+        return jnp.zeros(())
+    return x.var() / (x.mean() ** 2 + eps)
+
+
+def kth_excluding(H: jnp.ndarray, k: int) -> jnp.ndarray:
+    """For each entry ``H[i, j]``: the k-th largest value of row i when
+    column j is excluded (reference nn/utils.py:11-45)."""
+    n = H.shape[-1]
+    top_vals, _ = jax.lax.top_k(H, min(k + 1, n))
+    kth = top_vals[..., k - 1 : k]  # k-th largest including all
+    kplus = top_vals[..., min(k, n - 1) : min(k, n - 1) + 1]
+    # if H[i, j] is among the top k, removing it shifts the k-th to (k+1)-th
+    in_top_k = H >= kth
+    return jnp.where(in_top_k, kplus, kth)
+
+
+def keep_top_k(x: jnp.ndarray, k: int, fill: float = -jnp.inf) -> jnp.ndarray:
+    """Mask all but the k largest entries of the trailing axis
+    (reference routers.py:11-25)."""
+    vals, _ = jax.lax.top_k(x, k)
+    thresh = vals[..., -1:]
+    return jnp.where(x >= thresh, x, fill)
+
+
+class DenseRouter(nn.Module):
+    """Softmax over all experts + importance CV^2 aux loss
+    (reference routers.py:54-65)."""
+
+    num_experts: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        logits = nn.Dense(self.num_experts, use_bias=False, dtype=self.dtype, name="W_g")(x)
+        weights = jax.nn.softmax(logits, axis=-1)
+        importance = weights.sum(axis=0)
+        aux = cv_squared(importance)
+        return weights, aux
+
+
+class SparseRouter(nn.Module):
+    """Noisy top-k router (Shazeer et al. 2017; reference routers.py:68-108)."""
+
+    num_experts: int
+    k: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        clean = nn.Dense(self.num_experts, use_bias=False, dtype=self.dtype, name="W_g")(x)
+        noise_scale = nn.Dense(
+            self.num_experts, use_bias=False, dtype=self.dtype, name="W_noise"
+        )(x)
+        noise_scale = jax.nn.softplus(noise_scale) + 1e-2
+        if training:
+            eps = jax.random.normal(self.make_rng("dropout"), clean.shape, clean.dtype)
+            noisy = clean + noise_scale * eps
+        else:
+            noisy = clean
+        masked = keep_top_k(noisy, self.k)
+        weights = jax.nn.softmax(masked, axis=-1)
+
+        # load-balancing loss: P(expert e in top k) via Normal CDF
+        kth = kth_excluding(noisy, self.k)
+        normal_cdf = 0.5 * (1 + jax.lax.erf((clean - kth) / (noise_scale * math.sqrt(2.0))))
+        load = normal_cdf.sum(axis=0)
+        importance = weights.sum(axis=0)
+        aux = cv_squared(importance) + cv_squared(load)
+        return weights, aux
+
+
+def router(kind: str, num_experts: int, k: int = 2) -> nn.Module:
+    """Factory mirroring reference routers.py:111-122."""
+    if kind == "dense":
+        return DenseRouter(num_experts)
+    if kind == "sparse":
+        return SparseRouter(num_experts, k)
+    raise ValueError(f"unknown router {kind!r}; expected 'dense' or 'sparse'")
+
+
+class MixtureOfExperts(nn.Module):
+    """Weighted sum of expert outputs (reference moe.py:11-53).
+
+    ``expert_fn`` builds one expert module; parameters are stacked along a
+    leading expert axis via ``nn.vmap`` so every expert runs as one batched
+    op. Returns ``(output, aux_loss)``.
+    """
+
+    expert_fn: Callable[[], nn.Module]
+    num_experts: int = 4
+    router_kind: str = "dense"
+    k: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        weights, aux = router(self.router_kind, self.num_experts, self.k)(
+            x, training=training
+        )
+
+        inner = self.expert_fn()
+        ExpertStack = nn.vmap(
+            type(inner),
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=None,
+            out_axes=0,
+            axis_size=self.num_experts,
+        )
+        stacked = ExpertStack(
+            **{f.name: getattr(inner, f.name) for f in _fields(inner)}, name="experts"
+        )
+        # NOTE: lifted vmap drops kwargs — pass ``training`` positionally
+        expert_out = stacked(x, training)  # [n_exp, N, d]
+        out = jnp.einsum("ne,end->nd", weights, expert_out)
+        return out, aux
+
+
+def _fields(module: nn.Module):
+    import dataclasses
+
+    return [
+        f
+        for f in dataclasses.fields(module)
+        if f.name not in ("parent", "name") and f.init
+    ]

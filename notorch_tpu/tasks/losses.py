@@ -179,6 +179,12 @@ class Dirichlet:
         return masked_reduce(L_mse + self.v_kl * L_kl, mask, sample_weights)
 
 
+# reference-compatible aliases (loss.py:349-351)
+MVE = MeanVarianceEstimation
+BCE = BinaryCrossEntropy
+XENT = CrossEntropy
+
+
 def _cdist(A, B, p: float):
     diff = jnp.abs(A[..., :, None, :] - B[..., None, :, :])
     if p == 1.0:

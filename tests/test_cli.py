@@ -1,0 +1,76 @@
+"""Config-driven CLI tests (the reference's notorch-train UX)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from notorch_tpu.cli.registry import REGISTRY, build, resolve
+from notorch_tpu.cli.train import apply_overrides, load_config, run
+
+
+def test_registry_resolves_core_components():
+    for name in ["ChempropBlock", "GraphEmbedding", "MLP", "MSE", "RMSE", "adam", "Gated"]:
+        assert resolve(name) is not None
+    with pytest.raises(KeyError, match="unknown component"):
+        resolve("Nope")
+
+
+def test_registry_nested_build():
+    mod = build(
+        {
+            "class": "Residual",
+            "args": {"module": {"class": "MLP", "args": {"input_dim": 8, "output_size": 8}}},
+        }
+    )
+    assert type(mod).__name__ == "Residual"
+
+
+def test_overrides():
+    cfg = {"trainer": {"epochs": 30}, "model": {"hidden_dim": 256}}
+    apply_overrides(cfg, ["trainer.epochs=2", "model.hidden_dim=32", "optimizer.lr=0.001"])
+    assert cfg["trainer"]["epochs"] == 2
+    assert cfg["model"]["hidden_dim"] == 32
+    assert cfg["optimizer"]["lr"] == 0.001
+
+
+def test_run_prebuilt_config(tmp_path):
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=2",
+            "trainer.batch_size=32",
+            "model.hidden_dim=32",
+            "model.depth=2",
+            f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        ],
+    )
+    # shrink the dataset for test speed
+    import pandas as pd
+
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(120).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+
+    out = run(cfg)
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train/loss"])
+    assert "test" in out and np.isfinite(out["test"]["val/rmse"])
+    # checkpoints written
+    assert (tmp_path / "ckpt").exists()
+
+
+def test_run_declarative_config(tmp_path):
+    cfg = load_config("configs/declarative_example.yaml")
+    apply_overrides(cfg, ["trainer.epochs=1", "trainer.batch_size=32"])
+    import pandas as pd
+
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(80).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+
+    out = run(cfg)
+    assert np.isfinite(out["history"][-1]["train/loss"])
