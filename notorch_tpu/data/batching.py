@@ -51,6 +51,7 @@ class DataLoader:
         edge_quantum: int = 256,
         drop_last: bool = False,
         cache: bool = True,
+        layout: str = "flat",
     ):
         from notorch_tpu.data.samplers import SeededSampler
 
@@ -63,8 +64,14 @@ class DataLoader:
         else:
             self.sampler = SequentialSampler(len(dataset))
         self.drop_last = drop_last
-        self.node_ladder = bucket_ladder(node_quantum, 1 << 22)
-        self.edge_ladder = bucket_ladder(edge_quantum, 1 << 23)
+        self.layout = layout
+        if layout == "dense":
+            # per-molecule block ladders (small quanta)
+            self.node_ladder = bucket_ladder(16, 1 << 16)
+            self.edge_ladder = bucket_ladder(32, 1 << 17)
+        else:
+            self.node_ladder = bucket_ladder(node_quantum, 1 << 22)
+            self.edge_ladder = bucket_ladder(edge_quantum, 1 << 23)
         self._cache: dict[int, dict] | None = {} if cache else None
 
     def _fetch(self, idx: int) -> dict:
@@ -101,14 +108,22 @@ class DataLoader:
         ]
         caps = None
         if graphs:
-            total_v = sum(g.num_nodes for g in graphs) + 1
-            total_e = max(sum(g.num_edges for g in graphs), 1)
-            caps = (
-                round_up_ladder(total_v, self.node_ladder),
-                round_up_ladder(total_e, self.edge_ladder),
-            )
+            if self.layout == "dense":
+                max_v = max(g.num_nodes for g in graphs) + 1
+                max_e = max(max(g.num_edges for g in graphs), 2)
+                caps = (
+                    round_up_ladder(max_v, self.node_ladder),
+                    round_up_ladder(max_e + max_e % 2, self.edge_ladder),
+                )
+            else:
+                total_v = sum(g.num_nodes for g in graphs) + 1
+                total_e = max(sum(g.num_edges for g in graphs), 1)
+                caps = (
+                    round_up_ladder(total_v, self.node_ladder),
+                    round_up_ladder(total_e, self.edge_ladder),
+                )
         return self.dataset.collate(
-            samples, indices, graph_caps=caps, batch_cap=self.batch_size
+            samples, indices, graph_caps=caps, batch_cap=self.batch_size, layout=self.layout
         )
 
 
@@ -147,11 +162,11 @@ class Subset:
     def __getitem__(self, idx: int) -> dict:
         return self.dataset[int(self.indices[idx])]
 
-    def collate(self, samples, indices, graph_caps=None, batch_cap=None):
+    def collate(self, samples, indices, graph_caps=None, batch_cap=None, layout="flat"):
         # indices here are positions within the subset; targets come from the
         # subset-local arrays, inputs from the parent featurization
         batch = self.dataset.collate(
-            samples, [int(self.indices[i]) for i in indices], graph_caps, batch_cap
+            samples, [int(self.indices[i]) for i in indices], graph_caps, batch_cap, layout
         )
         return batch
 

@@ -135,20 +135,37 @@ class MolecularDataset:
         indices: list[int],
         graph_caps: tuple[int, int] | None = None,
         batch_cap: int | None = None,
+        layout: str = "flat",
     ) -> dict:
-        """Build the flat batch dict with ``inputs.*`` / ``targets.*`` keys."""
+        """Build the flat batch dict with ``inputs.*`` / ``targets.*`` keys.
+
+        ``layout="flat"``: one padded disjoint-union graph (``graph_caps`` =
+        (node_cap, edge_cap)). ``layout="dense"``: per-molecule dense blocks
+        (``graph_caps`` = (nodes_per_graph, edges_per_graph)).
+        """
         batch: dict[str, Any] = {}
         b_cap = batch_cap if batch_cap is not None else len(samples)
 
         for name, mgr in {**self.databases, **self.transforms}.items():
             values = [s[mgr.out_key] for s in samples]
             if values and isinstance(values[0], Graph):
-                if graph_caps is not None:
+                if layout == "dense":
+                    from notorch_tpu.data.dense import pad_graphs_dense
+
+                    if graph_caps is not None:
+                        v_m, e_m = graph_caps
+                    else:
+                        v_m = max(g.num_nodes for g in values) + 1
+                        e_m = max(max(g.num_edges for g in values), 2)
+                        e_m += e_m % 2
+                    collated = pad_graphs_dense(values, v_m, e_m, graph_cap=b_cap)
+                elif graph_caps is not None:
                     v_cap, e_cap = graph_caps
+                    collated = pad_graphs(values, v_cap, e_cap, graph_cap=b_cap)
                 else:
                     v_cap = sum(g.num_nodes for g in values) + 1
                     e_cap = max(sum(g.num_edges for g in values), 1)
-                collated = pad_graphs(values, v_cap, e_cap, graph_cap=b_cap)
+                    collated = pad_graphs(values, v_cap, e_cap, graph_cap=b_cap)
             else:
                 collated = mgr.collate(values)
                 collated = _pad_rows(collated, b_cap, fill=0.0)

@@ -57,6 +57,7 @@ def build_dmpnn(
     metrics: dict | None = None,
     dtype=None,
     graph_axis: str | None = None,
+    layout: str = "flat",
 ) -> Model:
     """The canonical embed -> chemprop -> readout -> FFN property predictor
     (the model of reference ``tests/integration/test_regression.py``)."""
@@ -74,28 +75,45 @@ def build_dmpnn(
         num_tasks if per_task == 1 else (num_tasks, per_task)
     )
 
+    if layout == "dense":
+        from notorch_tpu.nn.chemprop_dense import (
+            DenseChempropBlock,
+            DenseGraphEmbedding,
+            DenseMax,
+            DenseMean,
+            DenseSum,
+        )
+        from notorch_tpu.transforms.vocab import (
+            DEFAULT_NUM_ATOM_TYPES,
+            DEFAULT_NUM_BOND_TYPES,
+        )
+
+        dense_aggs = {"sum": DenseSum, "mean": DenseMean, "max": DenseMax}
+        embed_mod = DenseGraphEmbedding(
+            num_node_types=embed_kwargs.get("num_node_types", DEFAULT_NUM_ATOM_TYPES),
+            num_edge_types=embed_kwargs.get("num_edge_types", DEFAULT_NUM_BOND_TYPES),
+            hidden_dim=hidden_dim,
+            dtype=dtype,
+        )
+        mp_mod = DenseChempropBlock(
+            hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
+        )
+        readout_mod = dense_aggs[aggregation]()
+    else:
+        embed_mod = GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs)
+        mp_mod = ChempropBlock(
+            hidden_dim=hidden_dim,
+            depth=depth,
+            dropout=dropout,
+            dtype=dtype,
+            psum_axis=graph_axis,
+        )
+        readout_mod = AGGREGATIONS[aggregation]()
+
     modules = {
-        "embed": {
-            "module": GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs),
-            "in_keys": ["inputs.G"],
-            "out_keys": ["G"],
-        },
-        "mp": {
-            "module": ChempropBlock(
-                hidden_dim=hidden_dim,
-                depth=depth,
-                dropout=dropout,
-                dtype=dtype,
-                psum_axis=graph_axis,
-            ),
-            "in_keys": ["embed.G"],
-            "out_keys": ["G"],
-        },
-        "readout": {
-            "module": AGGREGATIONS[aggregation](),
-            "in_keys": ["readout_in"],
-            "out_keys": ["H"],
-        },
+        "embed": {"module": embed_mod, "in_keys": ["inputs.G"], "out_keys": ["G"]},
+        "mp": {"module": mp_mod, "in_keys": ["embed.G"], "out_keys": ["G"]},
+        "readout": {"module": readout_mod, "in_keys": ["mp.G"], "out_keys": ["H"]},
         "ffn": {
             "module": MLP(
                 input_dim=hidden_dim,
@@ -109,8 +127,6 @@ def build_dmpnn(
             "out_keys": ["preds"],
         },
     }
-    # readout reads the message-passed graph
-    modules["readout"]["in_keys"] = ["mp.G"]
 
     loss_fn = _LOSSES[task]()
     losses = {
