@@ -4,9 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology: the depth-3 message-passing block is iterated inside a single
 jitted ``lax.fori_loop`` with the edge state fed back between iterations, so
-executions serialize on-device and dispatch overhead amortizes (an async
-dispatch loop over-reports by >10x on this platform). "Edges/s" counts
-edge-layer updates: real_edges x depth x iters / time.
+executions serialize on-device and dispatch overhead amortizes. The loop
+result is reduced to a scalar INSIDE the jit and fetched to the host — on
+tunneled platforms ``block_until_ready`` can return before device work
+completes (and orphaned queued work can wedge the chip), so the scalar fetch
+is the only reliable sync. "Edges/s" counts edge-layer updates:
+real_edges x depth x iters / time.
 
 ``vs_baseline``: the reference implementation (torch + torch_scatter +
 Lightning) is not installable here; the baseline is the reference-equivalent
@@ -68,7 +71,7 @@ def main() -> None:
 
     hidden = 256
     depth = 3
-    chain = 20  # block applications per timed device call
+    chain = 50  # block applications per timed device call
 
     path = os.path.join(os.path.dirname(__file__), "tests", "data", "lipo.csv")
     with open(path) as f:
@@ -93,16 +96,17 @@ def main() -> None:
         def body(_, ef):
             out = block.apply(variables, G.update(edge_feats=ef))
             return out.edge_feats
-        return jax.lax.fori_loop(0, chain, body, G.edge_feats)
+        final = jax.lax.fori_loop(0, chain, body, G.edge_feats)
+        return jnp.sum(final.astype(jnp.float32))  # scalar: forces real sync on fetch
 
-    run_chain(bv, G).block_until_ready()  # compile + warm
+    float(run_chain(bv, G))  # compile + warm + drain queue
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run_chain(bv, G)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_chain(bv, G))  # host fetch = true completion
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     real_edges = int(np.asarray(bg.edge_mask).sum())
     edges_per_sec = real_edges * depth * chain / dt

@@ -1,0 +1,102 @@
+"""Native C++ featurizer: bit-exact parity with the Python path + speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from notorch_tpu import native
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ compiler available"
+)
+
+PIPE = Pipeline(SmiToMol(), MolToGraph())
+
+
+def _assert_graph_equal(a, b, smi):
+    np.testing.assert_array_equal(a.node_types, b.node_types, err_msg=f"nodes {smi}")
+    np.testing.assert_array_equal(a.edge_types, b.edge_types, err_msg=f"edges {smi}")
+    np.testing.assert_array_equal(a.src, b.src, err_msg=f"src {smi}")
+    np.testing.assert_array_equal(a.dst, b.dst, err_msg=f"dst {smi}")
+    np.testing.assert_array_equal(a.rev, b.rev, err_msg=f"rev {smi}")
+
+
+def test_native_parity_fixture_smiles(smis):
+    for smi in smis:
+        py = PIPE(smi)
+        cc = native.featurize_smiles(smi)
+        assert cc is not None, smi
+        _assert_graph_equal(py, cc, smi)
+
+
+def test_native_parity_tricky_cases():
+    cases = [
+        "c1ccccc1",
+        "c1ccccc1-c1ccccc1",
+        "F/C=C/F",
+        "F/C=C\\F",
+        "[NH4+]",
+        "[O-]C(=O)C",
+        "c1cc[nH]c1",
+        "c1ccsc1",
+        "C%10CCCCC%10",
+        "[CH3:7][N+:2](C)(C)C",
+        "O",
+        "[Na+].[Cl-]",
+        "C[C@H](N)C(=O)O",
+        "C[C@@H](N)C(=O)O",
+    ]
+    for smi in cases:
+        py = PIPE(smi)
+        cc = native.featurize_smiles(smi)
+        assert cc is not None, smi
+        _assert_graph_equal(py, cc, smi)
+
+
+def test_native_parity_lipo_subset(lipo_rows):
+    smis = [r[0] for r in lipo_rows][:500]
+    graphs, status = native.featurize_batch(smis)
+    assert (status == 0).all()
+    for smi, cc in zip(smis[:100], graphs[:100]):
+        _assert_graph_equal(PIPE(smi), cc, smi)
+
+
+def test_native_rejects_garbage():
+    assert native.featurize_smiles("C(") is None
+    assert native.featurize_smiles("C1CC") is None
+    assert native.featurize_smiles("Zz") is None
+
+
+def test_native_batch_throughput(lipo_rows):
+    """The native path must beat Python featurization by >=5x on a batch."""
+    smis = [r[0] for r in lipo_rows][:1000]
+
+    t0 = time.perf_counter()
+    for smi in smis[:200]:
+        PIPE(smi)
+    py_rate = 200 / (time.perf_counter() - t0)
+
+    native.featurize_batch(smis[:10])  # warm (library build)
+    t0 = time.perf_counter()
+    graphs, status = native.featurize_batch(smis)
+    cc_rate = len(smis) / (time.perf_counter() - t0)
+
+    assert (status == 0).all()
+    assert cc_rate > 5 * py_rate, f"native {cc_rate:.0f}/s vs python {py_rate:.0f}/s"
+
+
+def test_native_transform_in_dataset(smis):
+    from notorch_tpu.data.batching import DataLoader
+    from notorch_tpu.data.dataset import MolecularDataset, TargetSpec, TransformManager
+
+    ds = MolecularDataset(
+        {"smiles": smis[:16], "y": np.zeros(16)},
+        transforms={
+            "g": TransformManager(native.NativeSmiToGraph(), in_key="smiles")
+        },
+        targets={"y": TargetSpec(columns=["y"])},
+    )
+    batch = next(iter(DataLoader(ds, batch_size=16)))
+    assert batch["inputs.G"].num_nodes > 0
