@@ -22,11 +22,15 @@ from notorch_tpu.data.samplers import SequentialSampler
 
 
 def bucket_ladder(quantum: int, max_value: int) -> list[int]:
-    """Geometric ladder: q, 2q, 3q, 4q, 6q, 8q, 12q, 16q, ..."""
-    out = [quantum, 2 * quantum]
-    while out[-1] < max_value:
-        out.append(out[-2] * 3)
-        out.append(out[-3] * 4)
+    """Geometric ladder q, 1.5q, 2q, 3q, 4q, 6q, 8q, ... — step ratio <=1.5,
+    so padding waste is <=50% and compile count is O(log max)."""
+    out = []
+    base = quantum
+    while base < max_value:
+        out.append(base)
+        out.append(base * 3 // 2)
+        base *= 2
+    out.append(base)
     return out
 
 

@@ -33,6 +33,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
+    # non-parameter variable collections (e.g. BatchNorm batch_stats),
+    # threaded through train steps functionally
+    extra_vars: Any = struct.field(default_factory=dict)
 
 
 class Model:
@@ -80,13 +83,19 @@ class Model:
     # -- initialization -----------------------------------------------------
     def init(self, rng: jax.Array, example_batch: Mapping[str, Any]) -> TrainState:
         params_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
-        variables = self.network.init(
-            {"params": params_rng, "dropout": dropout_rng}, dict(example_batch), training=True
+        variables = dict(
+            self.network.init(
+                {"params": params_rng, "dropout": dropout_rng}, dict(example_batch), training=True
+            )
         )
-        params = variables["params"]
+        params = variables.pop("params")
         opt_state = self.optimizer.init(params)
         return TrainState(
-            params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), rng=state_rng
+            params=params,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            extra_vars=variables,
         )
 
     # -- shared pieces ------------------------------------------------------
@@ -120,30 +129,44 @@ class Model:
     # -- steps --------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Mapping[str, Any]):
         rng, dropout_rng = jax.random.split(state.rng)
+        mutable = list(state.extra_vars.keys())
 
         def loss_fn(params):
-            out = self.network.apply(
-                {"params": params}, dict(batch), training=True, rngs={"dropout": dropout_rng}
+            result = self.network.apply(
+                {"params": params, **state.extra_vars},
+                dict(batch),
+                training=True,
+                rngs={"dropout": dropout_rng},
+                mutable=mutable,
             )
+            out, new_vars = result if mutable else (result, {})
             out = self._apply_transforms(out, "targets")
             terms = self._loss_terms(out)
             total = sum(
                 self.train_loss_weights.get(name, EPS) * v for name, v in terms.items()
             )
-            return total, terms
+            return total, (terms, new_vars)
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (terms, new_vars)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1, rng=rng
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=rng,
+            extra_vars=dict(new_vars) if mutable else state.extra_vars,
         )
         logs = {f"train/{k}": v for k, v in terms.items()}
         logs["train/loss"] = loss
         return new_state, logs
 
-    def _eval_step_impl(self, params, batch: Mapping[str, Any]):
-        out = self.network.apply({"params": params}, dict(batch), training=False)
+    def _eval_step_impl(self, params, batch: Mapping[str, Any], extra_vars=None):
+        out = self.network.apply(
+            {"params": params, **(extra_vars or {})}, dict(batch), training=False
+        )
         out = self._apply_transforms(out, "targets")
         terms = self._loss_terms(out)
         metric_terms = self._metric_terms(out)
@@ -155,19 +178,23 @@ class Model:
         logs["val/loss"] = val_loss
         return logs, out
 
-    def _predict_step_impl(self, params, batch: Mapping[str, Any]):
-        out = self.network.apply({"params": params}, dict(batch), training=False)
+    def _predict_step_impl(self, params, batch: Mapping[str, Any], extra_vars=None):
+        out = self.network.apply(
+            {"params": params, **(extra_vars or {})}, dict(batch), training=False
+        )
         return self._apply_transforms(out, "preds")
 
     # -- public API ---------------------------------------------------------
     def train_step(self, state: TrainState, batch) -> tuple[TrainState, dict]:
         return self._train_step(state, batch)
 
-    def eval_step(self, params, batch) -> tuple[dict, dict]:
-        return self._eval_step(params, batch)
+    def eval_step(self, params, batch, extra_vars=None) -> tuple[dict, dict]:
+        return self._eval_step(params, batch, extra_vars)
 
-    def predict_step(self, params, batch) -> dict:
-        return self._predict_step(params, batch)
+    def predict_step(self, params, batch, extra_vars=None) -> dict:
+        return self._predict_step(params, batch, extra_vars)
 
-    def apply(self, params, batch, training: bool = False, rngs=None) -> dict:
-        return self.network.apply({"params": params}, dict(batch), training=training, rngs=rngs)
+    def apply(self, params, batch, training: bool = False, rngs=None, extra_vars=None) -> dict:
+        return self.network.apply(
+            {"params": params, **(extra_vars or {})}, dict(batch), training=training, rngs=rngs
+        )

@@ -39,6 +39,7 @@ def build_multicomponent_dmpnn(
     ffn_layers: int = 1,
     shared_encoder: bool = False,
     normalize_fingerprint: bool = True,
+    norm: str = "layer",  # "layer" | "batch" (reference multi.py:44 uses BatchNorm)
     num_node_types: dict[str, int] | None = None,
     num_edge_types: dict[str, int] | None = None,
     learning_rate: float = 1e-4,
@@ -91,8 +92,10 @@ def build_multicomponent_dmpnn(
     modules["fingerprint"] = {"module": Cat(), "in_keys": readout_keys, "out_keys": ["H"]}
     head_in = "fingerprint.H"
     if normalize_fingerprint:
+        from notorch_tpu.nn.glue import BatchNorm
+
         modules["norm"] = {
-            "module": LayerNormModule(),
+            "module": BatchNorm() if norm == "batch" else LayerNormModule(),
             "in_keys": ["fingerprint.H"],
             "out_keys": ["H"],
         }

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
@@ -94,6 +95,45 @@ class DenseGraphEmbedding(nn.Module):
         node = EmbeddingBagSum(self.num_node_types, self.hidden_dim, self.dtype, name="node")
         edge = EmbeddingBagSum(self.num_edge_types, self.hidden_dim, self.dtype, name="edge")
         return G.update(node_feats=node(G.node_feats), edge_feats=edge(G.edge_feats))
+
+
+def fused_block_apply(
+    variables,
+    G: DenseBatchedGraph,
+    depth: int,
+    residual: bool = True,
+    mols_per_tile: int = 8,
+    interpret: bool = False,
+) -> DenseBatchedGraph:
+    """Inference fast path: run a :class:`DenseChempropBlock`'s computation
+    through the fused Pallas kernel (one VMEM-resident kernel for the whole
+    block; see ``notorch_tpu.kernels.dense_mpnn``). Forward-only — use the
+    module itself for training."""
+    from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
+
+    params = variables["params"]
+    names = [f"layer_{i}" for i in range(depth)] if f"layer_{depth-1}" in params else ["layer"] * depth
+    Ws = jnp.stack([params[n]["update"]["kernel"] for n in names])
+    bs = jnp.stack([params[n]["update"]["bias"] for n in names])
+
+    Gm = G.gather_matrix(G.node_feats.dtype)
+    h0 = (
+        jax.lax.dot_general(
+            Gm, G.node_feats, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(G.edge_feats.dtype)
+        + G.edge_feats
+    )
+    edge_hiddens = fused_dense_mpnn_block(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=G.nodes_per_graph, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+    )
+    S = G.scatter_matrix(edge_hiddens.dtype)
+    node_hiddens = jax.lax.dot_general(
+        S, edge_hiddens, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(edge_hiddens.dtype)
+    return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
 
 
 class DenseSum(nn.Module):

@@ -129,6 +129,27 @@ class DualRankDropout(nn.Module):
         return s, v
 
 
+class DualRankAggregation(nn.Module):
+    """Per-graph pooling of dual-rank features over ``batch_index``
+    (reference gvp/layers.py:166-181): segment mean of scalars and vectors."""
+
+    reduce: str = "mean"
+
+    @nn.compact
+    def __call__(
+        self,
+        sv: tuple[jnp.ndarray, jnp.ndarray],
+        P: BatchedPointCloud,
+        training: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        from notorch_tpu.nn.ops import segment_mean, segment_sum
+
+        fn = segment_mean if self.reduce == "mean" else segment_sum
+        s, v = sv
+        n = P.n_graphs + 1
+        return fn(s, P.batch_index, n)[: P.n_graphs], fn(v, P.batch_index, n)[: P.n_graphs]
+
+
 class GvpConv(nn.Module):
     """GVP message passing over static-K radius neighborhoods
     (reference gvp/conv.py:16-127)."""

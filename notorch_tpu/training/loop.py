@@ -58,7 +58,9 @@ def fit(
 
         record = {"epoch": epoch, "time": time.perf_counter() - t0, **train_logs}
         if val_loader is not None:
-            record.update(evaluate(model, state.params, val_loader, host_metrics))
+            record.update(
+                evaluate(model, state.params, val_loader, host_metrics, state.extra_vars)
+            )
         history.append(record)
         if log_fn:
             log_fn(record)
@@ -72,6 +74,7 @@ def evaluate(
     params,
     loader,
     host_metrics: Mapping[str, Mapping] | None = None,
+    extra_vars=None,
 ) -> dict[str, float]:
     """Average device metrics over batches; accumulate outputs for host
     metrics over the whole pass (proper AUROC, unlike per-batch averaging)."""
@@ -84,7 +87,7 @@ def evaluate(
         needed_keys.update(ks.values() if isinstance(ks, Mapping) else ks)
 
     for batch in loader:
-        logs, out = model.eval_step(params, batch)
+        logs, out = model.eval_step(params, batch, extra_vars)
         n += 1
         for k, v in logs.items():
             sums[k] = sums.get(k, 0.0) + float(v)
@@ -103,12 +106,14 @@ def evaluate(
     return results
 
 
-def predict(model: Model, params, loader, keys: list[str] | None = None) -> dict[str, np.ndarray]:
+def predict(
+    model: Model, params, loader, keys: list[str] | None = None, extra_vars=None
+) -> dict[str, np.ndarray]:
     """Inference pass applying the ``preds`` transforms
     (reference ``predict_step``, model.py:267-271)."""
     accum: dict[str, list[np.ndarray]] = {}
     for batch in loader:
-        out = model.predict_step(params, batch)
+        out = model.predict_step(params, batch, extra_vars)
         for k, v in out.items():
             if keys is not None and k not in keys:
                 continue

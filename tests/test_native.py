@@ -70,21 +70,23 @@ def test_native_rejects_garbage():
 
 
 def test_native_batch_throughput(lipo_rows):
-    """The native path must beat Python featurization by >=5x on a batch."""
+    """The native path must beat Python featurization by >=3x single-threaded
+    (typically ~17x; threshold low so CI load can't flake it)."""
     smis = [r[0] for r in lipo_rows][:1000]
+
+    native.featurize_batch(smis[:10])  # warm (library build)
 
     t0 = time.perf_counter()
     for smi in smis[:200]:
         PIPE(smi)
     py_rate = 200 / (time.perf_counter() - t0)
 
-    native.featurize_batch(smis[:10])  # warm (library build)
     t0 = time.perf_counter()
-    graphs, status = native.featurize_batch(smis)
+    graphs, status = native.featurize_batch(smis, n_threads=1)
     cc_rate = len(smis) / (time.perf_counter() - t0)
 
     assert (status == 0).all()
-    assert cc_rate > 5 * py_rate, f"native {cc_rate:.0f}/s vs python {py_rate:.0f}/s"
+    assert cc_rate > 3 * py_rate, f"native {cc_rate:.0f}/s vs python {py_rate:.0f}/s"
 
 
 def test_native_transform_in_dataset(smis):

@@ -1,0 +1,83 @@
+"""Pallas fused D-MPNN kernel: parity with the jnp dense path (interpret
+mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from notorch_tpu.data.dense import pad_graphs_dense, rev_pair_swap
+from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
+from notorch_tpu.nn.chemprop_dense import DenseChempropBlock, DenseGraphEmbedding
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+PIPE = Pipeline(SmiToMol(), MolToGraph())
+SMIS = ["CCO", "c1ccccc1C(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "NC(=O)c1ccccc1"]
+
+
+def test_fused_kernel_matches_dense_block():
+    graphs = [PIPE(s) for s in SMIS]
+    d = 32
+    depth = 3
+    dbg = pad_graphs_dense(graphs, nodes_per_graph=32, edges_per_graph=64)
+
+    key = jax.random.PRNGKey(0)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    block = DenseChempropBlock(hidden_dim=d, depth=depth)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    bv = block.init(key, G)
+    ref = block.apply(bv, G)
+
+    # same computation through the fused kernel
+    Gm = G.gather_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+    Ws = jnp.stack(
+        [bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)]
+    )
+    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    out = fused_dense_mpnn_block(
+        h0,
+        G.src,
+        G.dst,
+        G.edge_mask,
+        Ws,
+        bs,
+        depth=depth,
+        n_nodes=32,
+        residual=True,
+        mols_per_tile=2,
+        interpret=True,
+    )
+
+    emask = np.asarray(G.edge_mask)
+    np.testing.assert_allclose(
+        np.asarray(out)[emask], np.asarray(ref.edge_feats)[emask], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_kernel_non_residual():
+    graphs = [PIPE(s) for s in SMIS[:2]]
+    d, depth = 16, 2
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(1)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    block = DenseChempropBlock(hidden_dim=d, depth=depth, residual=False)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    bv = block.init(key, G)
+    ref = block.apply(bv, G)
+
+    Gm = G.gather_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+    Ws = jnp.stack(
+        [bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)]
+    )
+    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    out = fused_dense_mpnn_block(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=32, residual=False, mols_per_tile=2, interpret=True,
+    )
+    emask = np.asarray(G.edge_mask)
+    np.testing.assert_allclose(
+        np.asarray(out)[emask], np.asarray(ref.edge_feats)[emask], rtol=1e-4, atol=1e-4
+    )
