@@ -175,6 +175,43 @@ def build_in_edges(
     return out
 
 
+def sort_edges_by_dst(bg: BatchedGraph) -> tuple[BatchedGraph, np.ndarray]:
+    """Permute a (host, numpy) padded batch into dst-sorted (padded-CSR)
+    edge order and attach row pointers via :func:`csr_row_ptr`.
+
+    Returns ``(sorted_graph, perm)`` where ``perm`` maps new -> old edge ids.
+    ``rev`` is rebased through the permutation (it stays an involution but is
+    no longer the pairwise interleave). Padding edges target the sink node
+    (last slot) so they sort to the tail.
+    """
+    dst = np.asarray(bg.dst)
+    perm = np.argsort(dst, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    new_rev = inv[np.asarray(bg.rev)[perm]]
+    sorted_bg = bg.replace(
+        edge_feats=np.asarray(bg.edge_feats)[perm],
+        src=np.asarray(bg.src)[perm],
+        dst=dst[perm],
+        rev=new_rev,
+        edge_graph=np.asarray(bg.edge_graph)[perm],
+        edge_mask=np.asarray(bg.edge_mask)[perm],
+        in_edges=build_in_edges(
+            dst[perm], np.asarray(bg.edge_mask)[perm], bg.num_nodes,
+            min_k=bg.in_edges.shape[1] if bg.in_edges is not None else 8,
+        ),
+    )
+    return sorted_bg, perm
+
+
+def csr_row_ptr(sorted_dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Row pointers for dst-sorted edges: edges of node v live in
+    ``[ptr[v], ptr[v+1])``."""
+    return np.searchsorted(
+        np.asarray(sorted_dst), np.arange(num_nodes + 1), side="left"
+    ).astype(np.int32)
+
+
 def bucket_caps(
     num_nodes: int, num_edges: int, node_buckets: Sequence[int], edge_buckets: Sequence[int]
 ) -> tuple[int, int]:
