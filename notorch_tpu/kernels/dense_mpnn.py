@@ -11,12 +11,14 @@ state resident in VMEM:
 i.e. one round trip of the edge tensor for the whole block, instead of
 ~4 per layer. The scatter/gather one-hot operators are built in-register
 from src/dst with ``broadcasted_iota`` comparisons and consumed directly by
-``dot_general`` on the MXU.
+``dot_general`` on the MXU. The depth loop is unrolled statically (dynamic
+indexing of the stacked weights stresses Mosaic), and the small integer
+index arrays are passed whole (their tiles are sliced in-kernel), which
+sidesteps the (8, 128) block-tiling constraint.
 
-Forward-only (jnp path remains the autodiff route); used for inference and
-the edges/sec benchmark. Exposed through
-:class:`notorch_tpu.nn.chemprop_dense.DenseChempropBlock` via
-``use_pallas_inference``.
+Forward-only (the jnp path remains the autodiff route); used for inference
+and the edges/sec benchmark via
+:func:`notorch_tpu.nn.chemprop_dense.fused_block_apply`.
 """
 
 from __future__ import annotations
@@ -29,54 +31,54 @@ from jax.experimental import pallas as pl
 
 try:  # pltpu is importable on CPU too (for interpret mode)
     from jax.experimental.pallas import tpu as pltpu
-
-    _MEMORY_SPACE = pltpu.VMEM
 except Exception:  # pragma: no cover
     pltpu = None
-    _MEMORY_SPACE = None
 
 
 def _block_kernel(
-    h_ref,  # [NB, E, d] in/out edge hiddens
-    src_ref,  # [NB, E] i32
-    dst_ref,  # [NB, E] i32
-    emask_ref,  # [NB, E] f32 (1/0)
-    w_ref,  # [depth, d, d]
-    b_ref,  # [depth, d]
+    src_ref,  # [B, E] i32 (full array)
+    dst_ref,  # [B, E] i32 (full array)
+    emask_ref,  # [B, E] f32 (full array)
+    h_ref,  # [NB, E, d] edge-hidden tile
+    w_ref,  # [depth, d, d] (full)
+    b_ref,  # [depth, d] (full)
     out_ref,  # [NB, E, d]
     *,
     depth: int,
     n_nodes: int,
+    tile: int,
     residual: bool,
 ):
+    i = pl.program_id(0)
     h = h_ref[:]
-    src = src_ref[:]
-    dst = dst_ref[:]
-    emask = emask_ref[:]
     NB, E, d = h.shape
+    row0 = i * tile
+    src = src_ref[pl.ds(row0, NB), :]
+    dst = dst_ref[pl.ds(row0, NB), :]
+    emask = emask_ref[pl.ds(row0, NB), :]
 
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, n_nodes, E), 1)
-    # scatter one-hot S[b, v, e] = (dst[b, e] == v) & mask
     S = jnp.where(
         (dst[:, None, :] == v_iota) & (emask[:, None, :] > 0), 1.0, 0.0
     ).astype(h.dtype)
-    # gather one-hot G[b, e, v] = (src[b, e] == v)
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, n_nodes), 2)
     G = jnp.where(src[:, :, None] == g_iota, 1.0, 0.0).astype(h.dtype)
 
     def pair_swap(x):
-        return x.reshape(NB, E // 2, 2, d)[:, :, ::-1].reshape(NB, E, d)
+        p = x.reshape(NB, E // 2, 2, d)
+        swapped = jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2)
+        return swapped.reshape(NB, E, d)
 
-    def layer(i, h):
+    for layer_idx in range(depth):  # static unroll
         m = jnp.maximum(h, 0.0)
         nm = jax.lax.dot_general(
             S, m, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype)  # [NB, V, d]
+        ).astype(h.dtype)
         em = jax.lax.dot_general(
             G, nm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(h.dtype) - pair_swap(m)
-        W = w_ref[i]
-        bb = b_ref[i]
+        W = w_ref[layer_idx]
+        bb = b_ref[layer_idx]
         out = (
             jax.lax.dot_general(
                 em.reshape(NB * E, d), W, (((1,), (0,)), ((), ())),
@@ -84,9 +86,8 @@ def _block_kernel(
             ).astype(h.dtype)
             + bb[None, :]
         ).reshape(NB, E, d)
-        return h + out if residual else out
+        h = h + out if residual else out
 
-    h = jax.lax.fori_loop(0, depth, layer, h)
     out_ref[:] = h
 
 
@@ -116,27 +117,21 @@ def fused_dense_mpnn_block(
     emask = edge_mask.astype(edge_hiddens.dtype)
 
     kernel = functools.partial(
-        _block_kernel, depth=depth, n_nodes=n_nodes, residual=residual
+        _block_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual
     )
-    kwargs = {}
-    if _MEMORY_SPACE is not None and not interpret:
-        spec = lambda shape, idx: pl.BlockSpec(shape, idx, memory_space=_MEMORY_SPACE)
-    else:
-        spec = lambda shape, idx: pl.BlockSpec(shape, idx)
-
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
         grid=(B // NB,),
         in_specs=[
-            spec((NB, E, d), lambda i: (i, 0, 0)),
-            spec((NB, E), lambda i: (i, 0)),
-            spec((NB, E), lambda i: (i, 0)),
-            spec((NB, E), lambda i: (i, 0)),
-            spec(weights.shape, lambda i: (0, 0, 0)),
-            spec(biases.shape, lambda i: (0, 0)),
+            whole((B, E)),  # src (sliced per tile in-kernel)
+            whole((B, E)),  # dst
+            whole((B, E)),  # emask
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            whole(tuple(biases.shape)),
         ],
-        out_specs=spec((NB, E, d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
         interpret=interpret,
-        **kwargs,
-    )(edge_hiddens, src, dst, emask, weights, biases)
+    )(src, dst, emask, edge_hiddens, weights, biases)
