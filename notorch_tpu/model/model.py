@@ -129,7 +129,9 @@ class Model:
     # -- steps --------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Mapping[str, Any]):
         rng, dropout_rng = jax.random.split(state.rng)
-        mutable = list(state.extra_vars.keys())
+        # NOTE: flax returns (out, vars) even for mutable=[], so collapse the
+        # empty case to False
+        mutable = list(state.extra_vars.keys()) or False
 
         def loss_fn(params):
             result = self.network.apply(
