@@ -92,6 +92,91 @@ def _block_kernel(
 
 
 @functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
+)
+def fused_dense_mpnn_block_trainable(
+    edge_hiddens, src, dst, edge_mask, weights, biases,
+    depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False,
+):
+    """Differentiable wrapper: Pallas forward, hand-written backward that
+    replays the (cheap) forward in jnp to recover per-layer residuals — so
+    the fused kernel is usable inside ``jax.grad`` training steps."""
+    return fused_dense_mpnn_block(
+        edge_hiddens, src, dst, edge_mask, weights, biases,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+    )
+
+
+def _jnp_forward_collect(h0, S, G, weights, biases, depth, residual):
+    """Replay the recurrence in jnp, returning each layer's input hiddens."""
+    def pair_swap(x):
+        B, E = x.shape[:2]
+        p = x.reshape(B, E // 2, 2, -1)
+        return jnp.concatenate([p[:, :, 1:2], p[:, :, 0:1]], axis=2).reshape(x.shape)
+
+    hs = [h0]
+    h = h0
+    for l in range(depth):
+        m = jnp.maximum(h, 0.0)
+        nm = jnp.einsum("bve,bed->bvd", S, m)
+        em = jnp.einsum("bev,bvd->bed", G, nm) - pair_swap(m)
+        out = em @ weights[l] + biases[l]
+        h = h + out if residual else out
+        hs.append(h)
+    return hs
+
+
+def _fused_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
+               depth, n_nodes, residual, mols_per_tile, interpret):
+    out = fused_dense_mpnn_block(
+        edge_hiddens, src, dst, edge_mask, weights, biases,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+    )
+    return out, (edge_hiddens, src, dst, edge_mask, weights, biases)
+
+
+def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, res, g):
+    h0, src, dst, edge_mask, weights, biases = res
+    B, E, d = h0.shape
+    v_ids = jnp.arange(n_nodes)
+    S = ((dst[:, None, :] == v_ids[None, :, None]) & edge_mask[:, None, :]).astype(
+        h0.dtype
+    )
+    G = (src[:, :, None] == v_ids[None, None, :]).astype(h0.dtype)
+
+    def pair_swap(x):
+        p = x.reshape(B, E // 2, 2, -1)
+        return jnp.concatenate([p[:, :, 1:2], p[:, :, 0:1]], axis=2).reshape(x.shape)
+
+    hs = _jnp_forward_collect(h0, S, G, weights, biases, depth, residual)
+
+    g_W = jnp.zeros_like(weights)
+    g_b = jnp.zeros_like(biases)
+    for l in reversed(range(depth)):
+        h_in = hs[l]
+        m = jnp.maximum(h_in, 0.0)
+        nm = jnp.einsum("bve,bed->bvd", S, m)
+        em = jnp.einsum("bev,bvd->bed", G, nm) - pair_swap(m)
+
+        g_out = g
+        g_W = g_W.at[l].add(jnp.einsum("bed,bef->df", em, g_out))
+        g_b = g_b.at[l].add(g_out.sum(axis=(0, 1)))
+        g_em = g_out @ weights[l].T
+        g_nm = jnp.einsum("bev,bed->bvd", G, g_em)
+        g_m = jnp.einsum("bve,bvd->bed", S, g_nm) - pair_swap(g_em)
+        g_h = g_m * (h_in > 0)
+        g = g_h + g_out if residual else g_h
+
+    return g, None, None, None, g_W, g_b
+
+
+fused_dense_mpnn_block_trainable.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("depth", "n_nodes", "residual", "mols_per_tile", "interpret"),
 )
