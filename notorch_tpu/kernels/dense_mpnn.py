@@ -58,8 +58,10 @@ def _block_kernel(
     emask = emask_ref[pl.ds(row0, NB), :]
 
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, n_nodes, E), 1)
+    # emask arrives as f32; bf16 comparisons don't lower on all targets
+    mask_ok = emask.astype(jnp.float32) > 0.0
     S = jnp.where(
-        (dst[:, None, :] == v_iota) & (emask[:, None, :] > 0), 1.0, 0.0
+        (dst[:, None, :] == v_iota) & mask_ok[:, None, :], 1.0, 0.0
     ).astype(h.dtype)
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, n_nodes), 2)
     G = jnp.where(src[:, :, None] == g_iota, 1.0, 0.0).astype(h.dtype)
@@ -199,7 +201,7 @@ def fused_dense_mpnn_block(
     NB = min(mols_per_tile, B)
     if B % NB != 0:
         raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
-    emask = edge_mask.astype(edge_hiddens.dtype)
+    emask = edge_mask.astype(jnp.float32)
 
     kernel = functools.partial(
         _block_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual
