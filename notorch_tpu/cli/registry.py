@@ -58,6 +58,7 @@ def _populate() -> None:
         DenseMax,
         DenseMean,
         DenseSum,
+        FusedDenseChempropBlock,
     )
     from notorch_tpu.nn.embed import GraphEmbedding
     from notorch_tpu.nn.spatial import agg as spatial_agg
@@ -85,6 +86,7 @@ def _populate() -> None:
         DenseSum,
         DenseMean,
         DenseMax,
+        FusedDenseChempropBlock,
         GvpGNNBlock,
         GatedEquivariantBlock,
         SchnetBlock,

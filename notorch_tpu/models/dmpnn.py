@@ -75,13 +75,14 @@ def build_dmpnn(
         num_tasks if per_task == 1 else (num_tasks, per_task)
     )
 
-    if layout == "dense":
+    if layout in ("dense", "dense_fused"):
         from notorch_tpu.nn.chemprop_dense import (
             DenseChempropBlock,
             DenseGraphEmbedding,
             DenseMax,
             DenseMean,
             DenseSum,
+            FusedDenseChempropBlock,
         )
         from notorch_tpu.transforms.vocab import (
             DEFAULT_NUM_ATOM_TYPES,
@@ -95,9 +96,12 @@ def build_dmpnn(
             hidden_dim=hidden_dim,
             dtype=dtype,
         )
-        mp_mod = DenseChempropBlock(
-            hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
-        )
+        if layout == "dense_fused":
+            mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
+        else:
+            mp_mod = DenseChempropBlock(
+                hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
+            )
         readout_mod = dense_aggs[aggregation]()
     else:
         embed_mod = GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs)

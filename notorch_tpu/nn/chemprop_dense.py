@@ -136,6 +136,52 @@ def fused_block_apply(
     return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
 
 
+class FusedDenseChempropBlock(nn.Module):
+    """D-MPNN block backed by the fused Pallas kernel (trainable via the
+    custom-VJP wrapper). Weights live as stacked [depth, d, d] / [depth, d]
+    params. On non-TPU backends the kernel runs in interpret mode, so the
+    module is usable everywhere (tests run it on CPU).
+
+    Dropout is not supported inside the fused kernel; use the jnp
+    :class:`DenseChempropBlock` when training with edge dropout.
+    """
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    depth: int = 3
+    residual: bool = True
+    mols_per_tile: int = 8
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
+        from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block_trainable
+
+        d = self.hidden_dim
+        Ws = self.param(
+            "kernels",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (self.depth, d, d),
+        )
+        bs = self.param("biases", nn.initializers.zeros, (self.depth, d))
+
+        Gm = G.gather_matrix(G.node_feats.dtype)
+        h0 = (
+            jnp.einsum("bev,bvd->bed", Gm, G.node_feats).astype(G.edge_feats.dtype)
+            + G.edge_feats
+        )
+        B = h0.shape[0]
+        tile = self.mols_per_tile
+        while B % tile != 0:
+            tile //= 2
+        interpret = jax.default_backend() != "tpu"
+        edge_hiddens = fused_dense_mpnn_block_trainable(
+            h0, G.src, G.dst, G.edge_mask, Ws, bs,
+            self.depth, G.nodes_per_graph, self.residual, max(tile, 1), interpret,
+        )
+        S = G.scatter_matrix(edge_hiddens.dtype)
+        node_hiddens = jnp.einsum("bve,bed->bvd", S, edge_hiddens)
+        return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
+
+
 class DenseSum(nn.Module):
     """Per-graph masked sum readout over the node axis: [B, V, d] -> [B, d]."""
 
