@@ -85,3 +85,38 @@ def test_huge_molecule_roundtrip(rng):
     G = embed.apply(embed.init(key, bg), bg)
     out = block.apply(block.init(key, G), G)
     assert np.isfinite(np.asarray(out.node_feats)).all()
+
+
+def test_size_sorted_batching_cuts_padding(rng):
+    """sort_by_size groups similar molecules: dense padding waste drops."""
+    import csv
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "lipo.csv")
+    with open(path) as f:
+        smis = [r["smiles"] for r in csv.DictReader(f)][:256]
+    ds = MolecularDataset(
+        {"smiles": smis, "y": rng.normal(size=len(smis))},
+        transforms={
+            "g": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles")
+        },
+        targets={"y": TargetSpec(columns=["y"])},
+    )
+
+    def padding_ratio(loader):
+        padded = real = 0
+        for batch in loader:
+            G = batch["inputs.G"]
+            padded += G.n_graphs * G.edges_per_graph
+            real += int(np.asarray(G.edge_mask).sum())
+        return padded / real
+
+    plain = padding_ratio(DataLoader(ds, batch_size=32, layout="dense"))
+    sorted_ = padding_ratio(
+        DataLoader(ds, batch_size=32, layout="dense", sort_by_size=True, shuffle=True)
+    )
+    assert sorted_ < plain * 0.75, (plain, sorted_)
+    # all molecules still delivered exactly once
+    loader = DataLoader(ds, batch_size=32, layout="dense", sort_by_size=True, shuffle=True)
+    n = sum(int(np.asarray(b["inputs.G"].graph_mask).sum()) for b in loader)
+    assert n == len(smis)
