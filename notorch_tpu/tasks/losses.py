@@ -104,14 +104,20 @@ class MeanVarianceEstimation:
 @dataclass(frozen=True)
 class Evidential:
     """Deep evidential regression (Soleimany et al. 2021; reference
-    loss.py:126-168). ``preds``: [b, t, 4] (mean, v, alpha, beta)."""
+    loss.py:126-168). ``preds``: [b, t, 4] raw (mean, v, alpha, beta) heads.
+
+    Unlike the reference (which feeds raw heads into logs — NaN-prone), the
+    positivity transforms are applied here, matching the parameterization
+    the preds-side ``Evidential`` transform uses at inference."""
 
     v_kl: float = 0.2
     eps: float = 1e-8
 
     def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
         mean, v, alpha, beta = (preds[..., i] for i in range(4))
-        v = jnp.maximum(v, self.eps)
+        v = jax.nn.softplus(v) + self.eps
+        alpha = jax.nn.softplus(alpha) + 1
+        beta = jax.nn.softplus(beta) + self.eps
         residuals = targets - mean
         two_b_lambda = 2 * beta * (1 + v)
         nll = (

@@ -1,0 +1,123 @@
+"""All six task types end to end: train a few steps, predict, check the
+output transform semantics (reference TaskType literal, types.py:11)."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from notorch_tpu.data.batching import DataLoader
+from notorch_tpu.data.dataset import MolecularDataset, TargetSpec, TransformManager
+from notorch_tpu.models.dmpnn import build_dmpnn
+from notorch_tpu.training.loop import fit, predict
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+SMIS = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CCCC", "c1ccncc1", "CCS", "OCCO"]
+
+
+def _ds(task, targets):
+    return MolecularDataset(
+        {"smiles": SMIS, **targets},
+        transforms={
+            "g": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles")
+        },
+        targets={"y": TargetSpec(columns=list(targets), task=task)},
+    )
+
+
+def _run(task, targets, **model_kw):
+    ds = _ds(task, targets)
+    transforms = ds.build_task_transform_configs()
+    transforms["y"]["preds"]["key"] = "ffn.preds"
+    model = build_dmpnn(
+        task=task, transforms=transforms, hidden_dim=16, depth=1,
+        optimizer=optax.adam(1e-3), **model_kw,
+    )
+    loader = DataLoader(ds, batch_size=8)
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    result = fit(model, state, loader, epochs=3)
+    assert np.isfinite(result.history[-1]["train/loss"])
+    preds = predict(model, result.state.params, loader, keys=["ffn.preds"])
+    return preds["ffn.preds"]
+
+
+def test_regression_task(rng):
+    out = _run("regression", {"a": rng.normal(size=8)})
+    assert out.shape == (8, 1)
+
+
+def test_classification_task(rng):
+    out = _run("classification", {"a": (rng.random(8) > 0.5).astype(float)})
+    assert ((out >= 0) & (out <= 1)).all()  # sigmoid applied at predict
+
+
+def test_multiclass_task(rng):
+    out = _run(
+        "multiclass", {"a": rng.integers(0, 3, size=8).astype(float)}, num_classes=3
+    )
+    np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)  # softmax
+
+
+def test_mve_task(rng):
+    out = _run("mve", {"a": rng.normal(size=8)})
+    assert out.shape == (8, 1, 2)
+    # denormalized variance must be nonnegative... variance channel can be
+    # any real pre-transform; MVE transform scales by std^2 only
+    assert np.isfinite(out).all()
+
+
+def test_evidential_task(rng):
+    out = _run("evidential", {"a": rng.normal(size=8)})
+    assert out.shape == (8, 1, 4)
+    var, alpha, beta = out[..., 1], out[..., 2], out[..., 3]
+    assert (var >= 0).all()  # softplus
+    assert (alpha >= 1).all()  # softplus + 1
+    assert (beta >= 0).all()
+
+
+def test_dirichlet_task(rng):
+    out = _run(
+        "dirichlet", {"a": rng.integers(0, 2, size=8).astype(float)}, num_classes=2
+    )
+    assert out.shape == (8, 1, 3)  # k probs + uncertainty channel
+    probs, unc = out[..., :2], out[..., 2]
+    np.testing.assert_allclose(probs.sum(-1) + 0, probs.sum(-1))  # finite
+    assert ((probs >= 0) & (probs <= 1)).all()
+    assert ((unc > 0) & (unc <= 1)).all()
+
+
+def test_loss_weighting():
+    """Weighted multi-loss composition (reference train_loss_weights)."""
+    import jax.numpy as jnp
+
+    from notorch_tpu.model.model import Model
+    from notorch_tpu.nn.embed import GraphEmbedding
+    from notorch_tpu.nn.chemprop import ChempropBlock
+    from notorch_tpu.nn.agg import Mean
+    from notorch_tpu.nn.mlp import MLP
+    from notorch_tpu.tasks.losses import MAE, MSE
+    from notorch_tpu.data.graph import pad_graphs
+
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    bg = pad_graphs([pipe(s) for s in SMIS[:4]], 64, 128, graph_cap=4)
+    y = np.ones((4, 1), np.float32)
+    batch = {"inputs.G": bg, "targets.y": y, "targets.y_mask": np.ones_like(y, bool)}
+
+    in_keys = {"preds": "ffn.preds", "targets": "targets.y", "mask": "targets.y_mask"}
+    model = Model(
+        modules={
+            "embed": {"module": GraphEmbedding(hidden_dim=8), "in_keys": ["inputs.G"], "out_keys": ["G"]},
+            "mp": {"module": ChempropBlock(hidden_dim=8, depth=1), "in_keys": ["embed.G"], "out_keys": ["G"]},
+            "readout": {"module": Mean(), "in_keys": ["mp.G"], "out_keys": ["H"]},
+            "ffn": {"module": MLP(8, 1), "in_keys": ["readout.H"], "out_keys": ["preds"]},
+        },
+        losses={
+            "mse": {"fn": MSE(), "in_keys": in_keys, "weight": 1.0},
+            "mae": {"fn": MAE(), "in_keys": in_keys, "weight": 1.0},
+        },
+        train_loss_weights={"mse": 2.0, "mae": 0.5},
+    )
+    state = model.init(jax.random.PRNGKey(0), batch)
+    state, logs = model.train_step(state, batch)
+    expected = 2.0 * float(logs["train/mse"]) + 0.5 * float(logs["train/mae"])
+    np.testing.assert_allclose(float(logs["train/loss"]), expected, rtol=1e-5)
