@@ -14,6 +14,7 @@ from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -200,3 +201,29 @@ class Model:
         return self.network.apply(
             {"params": params, **(extra_vars or {})}, dict(batch), training=training, rngs=rngs
         )
+
+    def summary(self, params=None) -> str:
+        """Readable composition summary (the reference's rich ``__repr__``
+        story, model.py/graph.py pretty-printers)."""
+        lines = ["Model("]
+        for name, in_keys, out_keys in self.network.wiring:
+            mod = self.network.modules_[name]
+            n_params = ""
+            if params is not None and name in params:
+                count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params[name]))
+                n_params = f"  [{count:,} params]"
+            ik = list(in_keys.values()) if isinstance(in_keys, dict) else list(in_keys)
+            lines.append(
+                f"  ({name}): {type(mod).__name__} {ik} -> "
+                f"{[f'{name}.{k}' for k in out_keys]}{n_params}"
+            )
+        for name, cfg in self.losses.items():
+            w = self.train_loss_weights.get(name, 1.0)
+            lines.append(f"  (loss {name}): {type(cfg['fn']).__name__} x{w}")
+        for name, cfg in self.metrics.items():
+            lines.append(f"  (metric {name}): {type(cfg['fn']).__name__}")
+        if params is not None:
+            total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+            lines.append(f"  total params: {total:,}")
+        lines.append(")")
+        return "\n".join(lines)
