@@ -126,7 +126,7 @@ def build_model(cfg: dict, transforms: dict | None, optimizer):
         )
 
     kind = cfg.get("kind", "dmpnn")
-    kwargs = {k: v for k, v in cfg.items() if k != "kind"}
+    kwargs = {k: v for k, v in cfg.items() if k not in ("kind", "pred_key")}
     if kind == "dmpnn":
         from notorch_tpu.models.dmpnn import build_dmpnn
 

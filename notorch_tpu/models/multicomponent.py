@@ -46,6 +46,8 @@ def build_multicomponent_dmpnn(
     optimizer: optax.GradientTransformation | None = None,
     transforms: dict | None = None,
     target_key: str = "targets.y",
+    extra_features_key: str | None = None,
+    extra_features_dim: int = 0,
 ) -> Model:
     """``component_keys``: input keys, e.g. ``["inputs.G1", "inputs.G2"]``.
 
@@ -89,6 +91,10 @@ def build_multicomponent_dmpnn(
         }
         readout_keys.append(f"readout_{i}.H")
 
+    # optional molecule-level extra features concatenated into the
+    # fingerprint (reference MulticomponentMPNN.fingerprint X_f, multi.py:48)
+    if extra_features_key is not None:
+        readout_keys = readout_keys + [extra_features_key]
     modules["fingerprint"] = {"module": Cat(), "in_keys": readout_keys, "out_keys": ["H"]}
     head_in = "fingerprint.H"
     if normalize_fingerprint:
@@ -105,7 +111,7 @@ def build_multicomponent_dmpnn(
     output_size = num_tasks if per_task == 1 else (num_tasks, per_task)
     modules["ffn"] = {
         "module": MLP(
-            input_dim=hidden_dim * len(component_keys),
+            input_dim=hidden_dim * len(component_keys) + extra_features_dim,
             output_size=output_size,
             hidden_dim=hidden_dim,
             num_layers=ffn_layers,

@@ -136,3 +136,69 @@ def test_multicomponent_shared_encoder(multi_rows):
     # shared encoder => embed_0 and embed_1 share parameters (same module)
     state, logs = model.train_step(state, batch)
     assert np.isfinite(float(logs["train/loss"]))
+
+def test_multicomponent_with_extra_features(multi_rows, rng, tmp_path):
+    """Morgan-FP extra features concatenate into the fingerprint
+    (reference MulticomponentMPNN.fingerprint X_f path)."""
+    from notorch_tpu.transforms import MolToFP
+
+    rows = multi_rows[:8]
+    ds = MolecularDataset(
+        {
+            "smiles1": [r[0] for r in rows],
+            "smiles2": [r[1] for r in rows],
+            "y": rng.normal(size=len(rows)),
+        },
+        transforms={
+            "g1": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles1", out_key="G1"),
+            "g2": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles2", out_key="G2"),
+            "fp": TransformManager(Pipeline(SmiToMol(), MolToFP(length=64)), in_key="smiles1", out_key="X_f"),
+        },
+        targets={"y": TargetSpec(columns=["y"])},
+    )
+    model = build_multicomponent_dmpnn(
+        ["inputs.G1", "inputs.G2"],
+        hidden_dim=16,
+        depth=1,
+        extra_features_key="inputs.X_f",
+        extra_features_dim=64,
+    )
+    import jax as _jax
+
+    loader = DataLoader(ds, batch_size=8)
+    batch = next(iter(loader))
+    state = model.init(_jax.random.PRNGKey(0), batch)
+    state, logs = model.train_step(state, batch)
+    assert np.isfinite(float(logs["train/loss"]))
+
+
+def test_multicomponent_cli_config(tmp_path):
+    """The multicomponent preset runs through the CLI config path."""
+    import pandas as pd
+
+    from notorch_tpu.cli.train import apply_overrides, load_config, run
+
+    rng2 = np.random.default_rng(0)
+    with open(os.path.join(DATA, "multi.csv")) as f:
+        import csv as _csv
+
+        rows = [(r["smiles1"], r["smiles2"]) for r in _csv.DictReader(f)][:16]
+    df = pd.DataFrame(
+        {
+            "smiles1": [r[0] for r in rows],
+            "smiles2": [r[1] for r in rows],
+            "y": rng2.normal(size=len(rows)),
+        }
+    )
+    csv_path = tmp_path / "multi_y.csv"
+    df.to_csv(csv_path, index=False)
+
+    cfg = load_config("configs/multicomponent.yaml")
+    apply_overrides(
+        cfg,
+        ["trainer.epochs=1", "trainer.batch_size=8", "model.hidden_dim=16", "model.depth=1"],
+    )
+    cfg["data"]["csv"] = str(csv_path)
+    cfg["data"]["split"] = None
+    out = run(cfg)
+    assert np.isfinite(out["history"][-1]["train/loss"])
