@@ -193,8 +193,30 @@ def run(cfg: dict) -> dict:
     out = {"history": result.history}
     if test is not None:
         test_loader = DataLoader(test, batch_size=batch_size)
-        out["test"] = evaluate(model, result.state.params, test_loader)
+        out["test"] = evaluate(
+            model, result.state.params, test_loader, extra_vars=result.state.extra_vars
+        )
         print(json.dumps({"test": {k: _jsonable(v) for k, v in out["test"].items()}}))
+
+    # optional predictions export (reference predict_step -> CSV)
+    pred_csv = trainer_cfg.get("predictions_csv")
+    if pred_csv:
+        from notorch_tpu.training.loop import predict
+
+        target = test if test is not None else train
+        loader = DataLoader(target, batch_size=batch_size)
+        preds = predict(
+            model, result.state.params, loader, keys=[pred_key],
+            extra_vars=result.state.extra_vars,
+        )[pred_key][: len(target)]
+        import numpy as _np
+
+        flat = preds.reshape(len(target), -1)
+        with open(pred_csv, "w") as f:
+            f.write(",".join(f"pred_{i}" for i in range(flat.shape[1])) + "\n")
+            for row in flat:
+                f.write(",".join(f"{v:.6g}" for v in row) + "\n")
+        out["predictions_csv"] = pred_csv
     return out
 
 

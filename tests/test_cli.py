@@ -74,3 +74,28 @@ def test_run_declarative_config(tmp_path):
 
     out = run(cfg)
     assert np.isfinite(out["history"][-1]["train/loss"])
+
+
+def test_predictions_export(tmp_path):
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=1",
+            "trainer.batch_size=32",
+            "model.hidden_dim=16",
+            "model.depth=1",
+            f"trainer.predictions_csv={tmp_path}/preds.csv",
+        ],
+    )
+    import pandas as pd
+
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(100).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+
+    out = run(cfg)
+    lines = (tmp_path / "preds.csv").read_text().strip().split("\n")
+    assert lines[0] == "pred_0"
+    assert len(lines) == 1 + 10  # header + 10% test rows
+    float(lines[1])  # parse check
