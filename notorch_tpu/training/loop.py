@@ -34,13 +34,18 @@ def fit(
     log_fn: Callable[[dict], None] | None = None,
     host_metrics: Mapping[str, Mapping] | None = None,
     checkpointer=None,
+    resume: bool = False,
 ) -> FitResult:
     """Run the jitted train step over the loader for ``epochs`` epochs.
 
     ``host_metrics``: ``{name: {"fn", "in_keys"}}`` computed host-side from
     accumulated eval outputs (AUROC/AUPRC/F1 — reference metrics.py:76-152).
+    ``resume=True`` restores the latest checkpoint from ``checkpointer``
+    before training (preemption-safe restart; SURVEY §5 failure recovery).
     """
     history = []
+    if resume and checkpointer is not None and checkpointer.latest_step() is not None:
+        state = checkpointer.restore(state)
     for epoch in range(epochs):
         t0 = time.perf_counter()
         train_logs: dict[str, float] = {}
