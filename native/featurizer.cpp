@@ -151,13 +151,16 @@ struct Parser {
       } else if (isdigit((unsigned char)ch) || ch == '%') {
         int num;
         if (ch == '%') {
-          if (p + 2 >= end) return fail();
+          if (p + 2 >= end || !isdigit((unsigned char)p[1]) ||
+              !isdigit((unsigned char)p[2]))
+            return fail();
           num = (p[1] - '0') * 10 + (p[2] - '0');
           p += 3;
         } else {
           num = ch - '0';
           ++p;
         }
+        if (num < 0 || num >= 100) return fail();
         if (prev < 0) return fail();
         if (rings[num].open) {
           int other = rings[num].atom;
@@ -197,6 +200,7 @@ struct Parser {
     for (auto& r : rings)
       if (r.open) return fail();
     if (!branch.empty()) return fail();
+    if (pending_bond >= 0 || pending_dir) return fail();  // dangling bond
     return true;
   }
 

@@ -137,7 +137,10 @@ def parse_smiles(smi: str) -> Molecule:
             i += 1
         elif ch.isdigit() or ch == "%":
             if ch == "%":
-                num, i = int(smi[i + 1 : i + 3]), i + 3
+                digits = smi[i + 1 : i + 3]
+                if len(digits) != 2 or not digits.isdigit():
+                    raise SmilesParseError(f"invalid %-ring closure at {i} in {smi!r}")
+                num, i = int(digits), i + 3
             else:
                 num, i = int(ch), i + 1
             if prev is None:
@@ -171,6 +174,8 @@ def parse_smiles(smi: str) -> Molecule:
         raise SmilesParseError(f"unclosed ring bond(s) {sorted(ring_open)} in {smi!r}")
     if branch_stack:
         raise SmilesParseError(f"unbalanced parentheses in {smi!r}")
+    if pending_bond is not None:
+        raise SmilesParseError(f"dangling bond at end of {smi!r}")
 
     return mol.finalize()
 

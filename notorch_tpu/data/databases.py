@@ -141,14 +141,19 @@ def _parse_molblock(block: str):
     """Parse a V2000 mol block into a Molecule."""
     from notorch_tpu.chem.mol import Atom, Bond, BondType, Molecule
 
+    import numpy as np
+
     lines = block.strip("\n").split("\n")
     counts = lines[3]
     n_atoms, n_bonds = int(counts[:3]), int(counts[3:6])
     mol = Molecule()
+    coords = np.zeros((n_atoms, 3), dtype=np.float32)
     for i in range(n_atoms):
         parts = lines[4 + i].split()
+        coords[i] = [float(parts[0]), float(parts[1]), float(parts[2])]
         symbol = parts[3]
         mol.add_atom(Atom(symbol=symbol))
+    mol.coords = coords
     order_map = {1: BondType.SINGLE, 2: BondType.DOUBLE, 3: BondType.TRIPLE, 4: BondType.AROMATIC}
     for i in range(n_bonds):
         ln = lines[4 + n_atoms + i]

@@ -168,7 +168,8 @@ class MolecularDataset:
                     collated = pad_graphs(values, v_cap, e_cap, graph_cap=b_cap)
             else:
                 collated = mgr.collate(values)
-                collated = _pad_rows(collated, b_cap, fill=0.0)
+                if isinstance(collated, np.ndarray):
+                    collated = _pad_rows(collated, b_cap, fill=0.0)
             batch[f"{INPUT_KEY_PREFIX}.{mgr.out_key}"] = collated
 
         for name, arr in self._target_arrays.items():

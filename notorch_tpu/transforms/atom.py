@@ -85,4 +85,5 @@ class MultiTypeAtomTransform:
 
     def __call__(self, atoms: Iterable[Atom]) -> np.ndarray:
         rows = [[m[f(a)] for m, f in self.maps] for a in atoms]
-        return np.asarray(rows, dtype=np.int32) + self.offset[None, :]
+        arr = np.asarray(rows, dtype=np.int32).reshape(-1, len(self.maps))
+        return arr + self.offset[None, :]

@@ -143,3 +143,43 @@ def test_spatial_aggregations(rng):
     gv = g.init(key, P)
     out_g = g.apply(gv, P)
     assert np.isfinite(np.asarray(out_g)).all()
+
+
+def test_sdf_to_pointcloud_to_schnet(tmp_path, rng):
+    """Full spatial data path: SDF coords -> PointCloud -> dataset batch ->
+    SchNet forward."""
+    from notorch_tpu.data.batching import DataLoader
+    from notorch_tpu.data.databases import SDFDatabase
+    from notorch_tpu.data.dataset import (
+        DatabaseManager,
+        MolecularDataset,
+        TargetSpec,
+        TransformManager,
+    )
+    from notorch_tpu.transforms.point_cloud import MolToPointCloud
+
+    from .test_databases import MOLBLOCK
+
+    (tmp_path / "mols.sdf").write_text(MOLBLOCK)
+    db = SDFDatabase(tmp_path / "mols.sdf")
+    assert getattr(db[0], "coords", None) is not None
+    assert db[0].coords.shape == (3, 3)
+
+    ds = MolecularDataset(
+        {"idx": [0, 1], "y": [1.0, 2.0]},
+        transforms={"p": TransformManager(MolToPointCloud(), in_key="mol")},
+        databases={"mols": DatabaseManager(db, in_key="idx", out_key="mol")},
+        targets={"y": TargetSpec(columns=["y"])},
+    )
+    # dataset collate: PointCloud values pad through the transform collate
+    samples = [ds[0], ds[1]]
+    clouds = [s["P"] for s in samples]
+    P = MolToPointCloud.collate(clouds)
+    assert P.num_nodes == 64 and int(P.node_mask.sum()) == 5
+
+    block = SchnetBlock(hidden_dim=16, depth=1, radius=3.0, max_neighbors=4)
+    embed = PointwiseEmbed(num_types=42, hidden_dim=16)
+    key = jax.random.PRNGKey(0)
+    P1 = embed.apply(embed.init(key, P), P)
+    out = block.apply(block.init(key, P1), P1)
+    assert np.isfinite(np.asarray(out.node_feats)).all()
