@@ -152,7 +152,14 @@ def run(cfg: dict) -> dict:
     split = cfg["data"].get("split")
     if split:
         fr = tuple(split.get("fractions", (0.8, 0.1, 0.1)))
-        idxs = random_split(len(ds), fr, seed=split.get("seed", 0))
+        if split.get("kind") == "scaffold":
+            from notorch_tpu.data.splits import scaffold_split
+
+            smiles_col = cfg["data"].get("smiles_col", "smiles")
+            smis = [rec[smiles_col] for rec in ds.records]
+            idxs = scaffold_split(smis, fr, seed=split.get("seed", 0))
+        else:
+            idxs = random_split(len(ds), fr, seed=split.get("seed", 0))
         train = Subset(ds, idxs[0])
         val = Subset(ds, idxs[1]) if len(idxs) > 1 and len(idxs[1]) else None
         test = Subset(ds, idxs[2]) if len(idxs) > 2 and len(idxs[2]) else None
