@@ -75,6 +75,7 @@ def _populate() -> None:
         Pipeline,
         SmiToMol,
     )
+    from notorch_tpu.transforms.point_cloud import MolToPointCloud
     from notorch_tpu.transforms.reaction import RxnToGraph
 
     for cls in [
@@ -112,6 +113,7 @@ def _populate() -> None:
         MolToFP,
         SmiToMol,
         RxnToGraph,
+        MolToPointCloud,
         MultiTypeAtomTransform,
         MultiTypeBondTransform,
         Pipeline,
