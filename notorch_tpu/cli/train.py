@@ -15,8 +15,6 @@ import json
 from pathlib import Path
 from typing import Any
 
-import numpy as np
-
 
 def load_config(path: str | Path) -> dict:
     text = Path(path).read_text()
@@ -142,7 +140,6 @@ def run(cfg: dict) -> dict:
     import jax
 
     from notorch_tpu.data.batching import DataLoader, Subset, random_split
-    from notorch_tpu.tasks import metrics as metrics_mod
     from notorch_tpu.training.loop import evaluate, fit
 
     trainer_cfg = cfg.get("trainer", {})
@@ -216,8 +213,6 @@ def run(cfg: dict) -> dict:
             model, result.state.params, loader, keys=[pred_key],
             extra_vars=result.state.extra_vars,
         )[pred_key][: len(target)]
-        import numpy as _np
-
         flat = preds.reshape(len(target), -1)
         with open(pred_csv, "w") as f:
             f.write(",".join(f"pred_{i}" for i in range(flat.shape[1])) + "\n")

@@ -10,7 +10,7 @@ graphs to bucket caps so device shapes are static (see
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Mapping, Sequence
 
 import numpy as np

@@ -10,7 +10,6 @@ config 4) together with :mod:`notorch_tpu.transforms.reaction`.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 import optax
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM

@@ -15,7 +15,7 @@ Capability parity: reference ``notorch/nn/moe/moe.py`` and ``moe/routers.py``
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Type
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

@@ -16,9 +16,6 @@ shard 0 (counted once).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

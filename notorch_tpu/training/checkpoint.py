@@ -8,12 +8,10 @@ multi-host-safe) with retention management.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any
 
 import jax
-import numpy as np
 
 
 class Checkpointer:

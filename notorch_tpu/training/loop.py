@@ -10,9 +10,8 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Mapping
+from typing import Callable, Mapping
 
-import jax
 import numpy as np
 
 from notorch_tpu.model.model import Model, TrainState

@@ -22,7 +22,6 @@ from typing import ClassVar
 
 import numpy as np
 
-from notorch_tpu.chem.mol import Molecule
 from notorch_tpu.chem.smiles import parse_reaction_smiles
 from notorch_tpu.data.graph import Graph
 from notorch_tpu.transforms.atom import MultiTypeAtomTransform
