@@ -161,3 +161,31 @@ def test_edge_partition_matches_single_device():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6), actual, expected
     )
+
+
+@pytest.mark.multihost
+def test_spmd_eval_step_matches_single_device():
+    n_data, per = 2, 2
+    mesh = make_mesh({"data": n_data}, devices=jax.devices()[:n_data])
+    model = build_dmpnn(hidden_dim=16, depth=1)
+    trainer = SpmdTrainer(model, mesh, data_axis="data")
+
+    groups = _groups(n_data, per)
+    targets = _targets(n_data, per)
+    batch = build_spmd_batch(groups, targets, node_cap=64, edge_cap=64, graph_cap=per)
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+
+    logs = trainer.eval_step(state.params, batch)
+    # single-device mean of per-shard losses
+    vals = []
+    for gi in range(n_data):
+        bg = pad_graphs(groups[gi], 64, 64, graph_cap=per)
+        rows = targets["y"][gi]
+        single = {
+            "inputs.G": bg,
+            "targets.y": jnp.asarray(np.nan_to_num(rows)),
+            "targets.y_mask": jnp.asarray(~np.isnan(rows)),
+        }
+        l, _ = model.eval_step(state.params, single)
+        vals.append(float(l["val/mse"]))
+    np.testing.assert_allclose(float(logs["mse"]), np.mean(vals), rtol=1e-5)
