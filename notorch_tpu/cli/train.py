@@ -177,8 +177,15 @@ def run(cfg: dict) -> dict:
     model = build_model(cfg.get("model", {}), transforms, optimizer)
 
     batch_size = trainer_cfg.get("batch_size", 64)
-    train_loader = DataLoader(train, batch_size=batch_size, shuffle=True, seed=seed)
-    val_loader = DataLoader(val, batch_size=batch_size) if val is not None else None
+    model_layout = cfg.get("model", {}).get("layout", "flat")
+    data_layout = "dense" if str(model_layout).startswith("dense") else "flat"
+    train_loader = DataLoader(
+        train, batch_size=batch_size, shuffle=True, seed=seed, layout=data_layout,
+        sort_by_size=data_layout == "dense",
+    )
+    val_loader = (
+        DataLoader(val, batch_size=batch_size, layout=data_layout) if val is not None else None
+    )
 
     checkpointer = None
     if trainer_cfg.get("checkpoint_dir"):
@@ -201,7 +208,7 @@ def run(cfg: dict) -> dict:
 
     out = {"history": result.history}
     if test is not None:
-        test_loader = DataLoader(test, batch_size=batch_size)
+        test_loader = DataLoader(test, batch_size=batch_size, layout=data_layout)
         out["test"] = evaluate(
             model, result.state.params, test_loader, extra_vars=result.state.extra_vars
         )
@@ -213,7 +220,7 @@ def run(cfg: dict) -> dict:
         from notorch_tpu.training.loop import predict
 
         target = test if test is not None else train
-        loader = DataLoader(target, batch_size=batch_size)
+        loader = DataLoader(target, batch_size=batch_size, layout=data_layout)
         preds = predict(
             model, result.state.params, loader, keys=[pred_key],
             extra_vars=result.state.extra_vars,

@@ -109,6 +109,13 @@ class MolecularDataset:
 
     def _extract_targets(self, spec: TargetSpec) -> np.ndarray:
         cols = list(spec.columns)
+        if self.records:
+            missing = [c for c in cols if c not in self.records[0]]
+            if missing:
+                raise KeyError(
+                    f"target column(s) {missing} not in the table; available: "
+                    f"{sorted(self.records[0])}"
+                )
         out = np.full((len(self.records), len(cols)), np.nan, dtype=np.float32)
         for i, rec in enumerate(self.records):
             for j, c in enumerate(cols):
