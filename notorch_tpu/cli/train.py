@@ -138,6 +138,10 @@ def build_model(cfg: dict, transforms: dict | None, optimizer):
         from notorch_tpu.models.multicomponent import build_multicomponent_dmpnn
 
         return build_multicomponent_dmpnn(transforms=transforms, optimizer=optimizer, **kwargs)
+    if kind == "spatial":
+        from notorch_tpu.models.spatial import build_spatial_model
+
+        return build_spatial_model(transforms=transforms, optimizer=optimizer, **kwargs)
     raise ValueError(f"unknown model kind {kind!r}")
 
 

@@ -150,3 +150,35 @@ def test_fused_module_trains():
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
     result = fit(model, state, loader, epochs=25)
     assert result.history[-1]["train/loss"] < result.history[0]["train/loss"] * 0.5
+
+
+def test_fused_kernel_other_hidden_dims():
+    """Kernel correctness across hidden dims (128 / 384) and odd tiles."""
+    graphs = [PIPE(s) for s in SMIS]
+    for d in [128, 384]:
+        depth = 2
+        dbg = pad_graphs_dense(graphs, 32, 64)
+        key = jax.random.PRNGKey(d)
+        embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+        block = DenseChempropBlock(hidden_dim=d, depth=depth)
+        ev = embed.init(key, dbg)
+        G = embed.apply(ev, dbg)
+        bv = block.init(key, G)
+        ref = block.apply(bv, G)
+
+        Gm = G.gather_matrix(jnp.float32)
+        h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+        Ws = jnp.stack(
+            [bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)]
+        )
+        bs = jnp.stack(
+            [bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)]
+        )
+        out = fused_dense_mpnn_block(
+            h0, G.src, G.dst, G.edge_mask, Ws, bs,
+            depth=depth, n_nodes=32, residual=True, mols_per_tile=4, interpret=True,
+        )
+        em = np.asarray(G.edge_mask)
+        np.testing.assert_allclose(
+            np.asarray(out)[em], np.asarray(ref.edge_feats)[em], rtol=1e-4, atol=1e-4
+        )
