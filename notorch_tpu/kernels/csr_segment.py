@@ -10,6 +10,13 @@ happens across the inner grid dimension into the same output block.
 This is the "Pallas SpMM over padded-CSR" path of the BASELINE north star
 for the flat layout; the dense per-molecule layout has its own fused block
 kernel (``kernels/dense_mpnn.py``).
+
+STATUS: semantics verified in interpret mode (tests/test_csr_kernel.py);
+the current remote Mosaic toolchain rejects PrefetchScalarGridSpec kernels
+with an opaque compile error (HTTP 500, no diagnostic relayed), so on-TPU
+use is gated behind the fused dense kernel for now. Measured context: the
+XLA segment_sum scatter+gather round runs at ~63M edge-ops/s on v5e;
+``indices_are_sorted`` makes no difference.
 """
 
 from __future__ import annotations
