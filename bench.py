@@ -79,9 +79,33 @@ def _measure_chain(run_scalar, target_seconds: float = 1.5):
     return best, chain
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    """Exit cleanly if the device never responds (a wedged TPU would
+    otherwise hang forever, and killing an attached process from outside
+    wedges it further)."""
+    import os
+    import sys
+    import threading
+
+    def die():
+        print(
+            "bench watchdog: device did not complete within "
+            f"{seconds}s; aborting without a measurement",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     import csv
     import os
+
+    _arm_watchdog()
 
     import jax
     import jax.numpy as jnp
