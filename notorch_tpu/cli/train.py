@@ -199,6 +199,20 @@ def run(cfg: dict) -> dict:
             trainer_cfg["checkpoint_dir"], max_to_keep=trainer_cfg.get("max_to_keep", 3)
         )
 
+    # classification targets get epoch-level host AUROC/AUPRC automatically
+    host_metrics = {}
+    for name, spec in ds.targets.items():
+        if spec.task == "classification":
+            from notorch_tpu.tasks.metrics import AUPRC, AUROC
+
+            keys = {
+                "preds": pred_key,
+                "targets": f"targets.{name}",
+                "mask": f"targets.{name}_mask",
+            }
+            host_metrics[f"{name}_auroc"] = {"fn": AUROC(), "in_keys": keys}
+            host_metrics[f"{name}_auprc"] = {"fn": AUPRC(), "in_keys": keys}
+
     state = model.init(jax.random.PRNGKey(seed), next(iter(train_loader)))
     result = fit(
         model,
@@ -207,6 +221,7 @@ def run(cfg: dict) -> dict:
         val_loader,
         epochs=trainer_cfg.get("epochs", 1),
         log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
+        host_metrics=host_metrics or None,
         checkpointer=checkpointer,
     )
 
@@ -214,7 +229,11 @@ def run(cfg: dict) -> dict:
     if test is not None:
         test_loader = DataLoader(test, batch_size=batch_size, layout=data_layout)
         out["test"] = evaluate(
-            model, result.state.params, test_loader, extra_vars=result.state.extra_vars
+            model,
+            result.state.params,
+            test_loader,
+            host_metrics=host_metrics or None,
+            extra_vars=result.state.extra_vars,
         )
         print(json.dumps({"test": {k: _jsonable(v) for k, v in out["test"].items()}}))
 

@@ -99,3 +99,26 @@ def test_predictions_export(tmp_path):
     assert lines[0] == "pred_0"
     assert len(lines) == 1 + 10  # header + 10% test rows
     float(lines[1])  # parse check
+
+
+def test_classification_host_metrics(tmp_path, smis):
+    """Classification configs report epoch-level host AUROC/AUPRC."""
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    labels = (rng.random(len(smis)) > 0.5).astype(float)  # balanced random
+    pd.DataFrame({"smiles": smis, "act": labels}).to_csv(tmp_path / "cls.csv", index=False)
+    cfg = {
+        "data": {
+            "csv": str(tmp_path / "cls.csv"),
+            "smiles_col": "smiles",
+            "targets": {"y": {"columns": ["act"], "task": "classification"}},
+            "split": {"fractions": [0.8, 0.2], "seed": 0},
+        },
+        "model": {"kind": "dmpnn", "task": "classification", "hidden_dim": 16, "depth": 1},
+        "trainer": {"epochs": 1, "batch_size": 32},
+    }
+    out = run(cfg)
+    rec = out["history"][-1]
+    assert "val/y_auroc" in rec and "val/y_auprc" in rec
+    assert 0.0 <= rec["val/y_auroc"] <= 1.0
