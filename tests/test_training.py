@@ -129,3 +129,28 @@ def test_lipo_rmse(lipo_rows):
     std = transforms["y"]["targets"]["module"].scale[0]
     rmse = logs["val/rmse"] * std
     assert rmse <= 0.8, f"lipo RMSE {rmse:.3f} > 0.8"
+
+
+def test_training_determinism(tiny):
+    """Same seed => bit-identical training trajectory (reproducibility)."""
+    import optax
+
+    def run_once():
+        model = build_dmpnn(hidden_dim=32, depth=2, dropout=0.2, optimizer=optax.adam(1e-3))
+        loader = DataLoader(tiny, batch_size=16, shuffle=True, seed=7)
+        state = model.init(jax.random.PRNGKey(3), next(iter(loader)))
+        losses = []
+        for _ in range(3):
+            for batch in loader:
+                state, logs = model.train_step(state, batch)
+                losses.append(float(logs["train/loss"]))
+        return losses, state
+
+    l1, s1 = run_once()
+    l2, s2 = run_once()
+    assert l1 == l2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(s1.params),
+        jax.device_get(s2.params),
+    )
