@@ -178,6 +178,196 @@ def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, res, g):
 fused_dense_mpnn_block_trainable.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_dense_mpnn_block_trainable_fast(
+    edge_hiddens, src, dst, edge_mask, weights, biases,
+    depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False,
+):
+    """Like :func:`fused_dense_mpnn_block_trainable` but with the BACKWARD
+    also running as a Pallas kernel (per-tile recompute + reverse sweep in
+    VMEM). Note: bias gradients flow through the forward only via the
+    additive path, identical to the jnp backward."""
+    return fused_dense_mpnn_block(
+        edge_hiddens, src, dst, edge_mask, weights, biases,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+    )
+
+
+def _fast_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
+              depth, n_nodes, residual, mols_per_tile, interpret):
+    out = fused_dense_mpnn_block(
+        edge_hiddens, src, dst, edge_mask, weights, biases,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+    )
+    return out, (edge_hiddens, src, dst, edge_mask, weights)
+
+
+def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, res, g):
+    h0, src, dst, edge_mask, weights = res
+    g_h0, g_W, g_b = fused_dense_mpnn_block_bwd(
+        h0, src, dst, edge_mask, weights, g,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+    )
+    return g_h0, None, None, None, g_W, g_b
+
+
+# -- Pallas backward ---------------------------------------------------------
+
+
+def _bwd_kernel(
+    src_ref,  # [B, E] i32 (full)
+    dst_ref,  # [B, E] i32 (full)
+    emask_ref,  # [B, E] f32 (full)
+    h0_ref,  # [NB, E, d] tile
+    w_ref,  # [depth, d, d] (full)
+    g_ref,  # [NB, E, d] cotangent tile
+    gh_ref,  # out: [NB, E, d]
+    gw_ref,  # out: [depth, d, d] (accumulated across tiles)
+    gb_ref,  # out: [depth, d]
+    *,
+    depth: int,
+    n_nodes: int,
+    tile: int,
+    residual: bool,
+):
+    i = pl.program_id(0)
+    h = h0_ref[:]
+    NB, E, d = h.shape
+    row0 = i * tile
+    src = src_ref[pl.ds(row0, NB), :]
+    dst = dst_ref[pl.ds(row0, NB), :]
+    emask = emask_ref[pl.ds(row0, NB), :]
+
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, n_nodes, E), 1)
+    mask_ok = emask.astype(jnp.float32) > 0.0
+    S = jnp.where((dst[:, None, :] == v_iota) & mask_ok[:, None, :], 1.0, 0.0).astype(
+        h.dtype
+    )
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, n_nodes), 2)
+    G = jnp.where(src[:, :, None] == g_iota, 1.0, 0.0).astype(h.dtype)
+
+    def pair_swap(x):
+        p = x.reshape(NB, E // 2, 2, d)
+        return jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2).reshape(
+            NB, E, d
+        )
+
+    @pl.when(i == 0)
+    def _init():
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+        gb_ref[:] = jnp.zeros_like(gb_ref)
+
+    # forward recompute, keeping each layer's input (static depth)
+    hs = [h]
+    for l in range(depth):
+        m = jnp.maximum(hs[l], 0.0)
+        nm = jax.lax.dot_general(
+            S, m, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        em = jax.lax.dot_general(
+            G, nm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(h.dtype) - pair_swap(m)
+        out = jax.lax.dot_general(
+            em.reshape(NB * E, d), w_ref[l], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype).reshape(NB, E, d)
+        hs.append(hs[l] + out if residual else out)
+
+    g = g_ref[:]
+    for l in reversed(range(depth)):
+        h_in = hs[l]
+        m = jnp.maximum(h_in, 0.0)
+        nm = jax.lax.dot_general(
+            S, m, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        em = jax.lax.dot_general(
+            G, nm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(h.dtype) - pair_swap(m)
+
+        # weight/bias grads: accumulate across tiles
+        gw_ref[l] += jax.lax.dot_general(
+            em.reshape(NB * E, d), g.reshape(NB * E, d),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(gw_ref.dtype)
+        gb_ref[l] += jnp.sum(g.reshape(NB * E, d), axis=0).astype(gb_ref.dtype)
+
+        g_em = jax.lax.dot_general(
+            g.reshape(NB * E, d), w_ref[l], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype).reshape(NB, E, d)
+        g_nm = jax.lax.dot_general(
+            G, g_em, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(h.dtype)  # [NB, V, d]
+        g_m = jax.lax.dot_general(
+            S, g_nm, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(h.dtype) - pair_swap(g_em)
+        g_h = g_m * jnp.where(h_in > 0, 1.0, 0.0).astype(h.dtype)
+        g = g_h + g if residual else g_h
+
+    gh_ref[:] = g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "n_nodes", "residual", "mols_per_tile", "interpret"),
+)
+def fused_dense_mpnn_block_bwd(
+    edge_hiddens,  # [B, E, d] h0
+    src,
+    dst,
+    edge_mask,
+    weights,  # [depth, d, d]
+    cotangent,  # [B, E, d]
+    *,
+    depth: int,
+    n_nodes: int,
+    residual: bool = True,
+    mols_per_tile: int = 8,
+    interpret: bool = False,
+):
+    """Pallas backward for the fused block: per-tile forward recompute +
+    reverse sweep entirely in VMEM; weight grads accumulate across the
+    (sequential) grid. Returns (g_h0, g_W, g_b)."""
+    B, E, d = edge_hiddens.shape
+    NB = min(mols_per_tile, B)
+    if B % NB != 0:
+        raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
+    emask = edge_mask.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _bwd_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual
+    )
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // NB,),
+        in_specs=[
+            whole((B, E)),
+            whole((B, E)),
+            whole((B, E)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            whole((weights.shape[0], d)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
+            jax.ShapeDtypeStruct(tuple(weights.shape), weights.dtype),
+            jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
+        ],
+        interpret=interpret,
+    )(src, dst, emask, edge_hiddens, weights, cotangent)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n_nodes", "residual", "mols_per_tile", "interpret"),
@@ -222,3 +412,6 @@ def fused_dense_mpnn_block(
         out_shape=jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
         interpret=interpret,
     )(src, dst, emask, edge_hiddens, weights, biases)
+
+
+fused_dense_mpnn_block_trainable_fast.defvjp(_fast_fwd, _fast_bwd)

@@ -182,3 +182,82 @@ def test_fused_kernel_other_hidden_dims():
         np.testing.assert_allclose(
             np.asarray(out)[em], np.asarray(ref.edge_feats)[em], rtol=1e-4, atol=1e-4
         )
+
+
+def test_pallas_backward_matches_jnp_autodiff():
+    """The Pallas backward kernel produces the same grads as jnp autodiff."""
+    from notorch_tpu.kernels.dense_mpnn import (
+        _jnp_forward_collect,
+        fused_dense_mpnn_block_bwd,
+    )
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 32, 3
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(3)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    block = DenseChempropBlock(hidden_dim=d, depth=depth)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    bv = block.init(key, G)
+    Ws = jnp.stack([bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)])
+    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    Gm = G.gather_matrix(jnp.float32)
+    S = G.scatter_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+
+    cot = jax.random.normal(jax.random.PRNGKey(9), h0.shape, h0.dtype)
+
+    def fwd(h0, Ws, bs):
+        hs = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
+        return (hs[-1] * cot).sum()
+
+    g_ref = jax.grad(fwd, argnums=(0, 1, 2))(h0, Ws, bs)
+
+    g_h0, g_W, g_b = fused_dense_mpnn_block_bwd(
+        h0, G.src, G.dst, G.edge_mask, Ws, cot,
+        depth=depth, n_nodes=32, residual=True, mols_per_tile=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(g_h0), np.asarray(g_ref[0]), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_W), np.asarray(g_ref[1]), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref[2]), rtol=2e-4, atol=1e-4)
+
+
+def test_trainable_fast_grads_match():
+    """custom-VJP with Pallas fwd AND bwd == jnp autodiff."""
+    from notorch_tpu.kernels.dense_mpnn import (
+        _jnp_forward_collect,
+        fused_dense_mpnn_block_trainable_fast,
+    )
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 16, 2
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(4)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    block = DenseChempropBlock(hidden_dim=d, depth=depth)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    bv = block.init(key, G)
+    Ws = jnp.stack([bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)])
+    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    Gm = G.gather_matrix(jnp.float32)
+    S = G.scatter_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+    emask = G.edge_mask.astype(jnp.float32)[..., None]
+
+    def loss_fast(h0, Ws, bs):
+        out = fused_dense_mpnn_block_trainable_fast(
+            h0, G.src, G.dst, G.edge_mask, Ws, bs, depth, 32, True, 2, True
+        )
+        return ((out * emask) ** 2).sum()
+
+    def loss_ref(h0, Ws, bs):
+        hs = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
+        return ((hs[-1] * emask) ** 2).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fast, argnums=(0, 1, 2))(h0, Ws, bs)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(h0, Ws, bs)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
