@@ -38,6 +38,9 @@ def lipo_rows():
     return rows
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets the same fresh stream regardless of
+    # which other tests ran before it (a shared stream makes thresholds
+    # order-dependent and flaky under -x / subset runs)
     return np.random.default_rng(0)
