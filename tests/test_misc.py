@@ -121,3 +121,40 @@ def test_step_timer():
     assert np.isfinite(sps) and sps > 0
     summary = t.summary(edges_per_step=100, depth=3)
     assert summary["edges_per_sec"] == pytest.approx(sps * 300)
+
+
+def test_composed_network_error_messages():
+    """Wiring errors name the missing key / arity mismatch precisely."""
+    import pytest
+
+    from notorch_tpu.model.composed import ComposedNetwork, get_key, make_network
+    from notorch_tpu.nn.glue import Identity, Split
+
+    with pytest.raises(KeyError, match="'nope' not in batch"):
+        get_key({"a": 1}, "nope")
+
+    net = make_network(
+        {"m": {"module": Identity(), "in_keys": ["inputs.x"], "out_keys": ["y"]}}
+    )
+    out = net.apply({}, {"inputs.x": jnp.ones(3)})
+    assert "m.y" in out
+
+    # arity mismatch: Split returns 2 values for 1 out_key
+    net2 = make_network(
+        {
+            "s": {
+                "module": Split(sizes=(1, 2)),
+                "in_keys": ["inputs.x"],
+                "out_keys": ["only_one"],
+            }
+        }
+    )
+    with pytest.raises(ValueError, match="returned 2 values for 1 out_keys"):
+        net2.apply({}, {"inputs.x": jnp.ones(3)})
+
+    # kwargs wiring
+    net3 = make_network(
+        {"m": {"module": Identity(), "in_keys": {"x": "inputs.x"}, "out_keys": ["y"]}}
+    )
+    out3 = net3.apply({}, {"inputs.x": jnp.ones(2)})
+    assert out3["m.y"].shape == (2,)
