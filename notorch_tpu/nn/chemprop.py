@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
@@ -127,8 +128,6 @@ def _node_reduce(messages, G: BatchedGraph, reduce: str, impl: str):
 def _cross_shard_combine(node_values, reduce: str, axis: str | None):
     if axis is None:
         return node_values
-    import jax
-
     if reduce == "sum":
         return jax.lax.psum(node_values, axis)
     if reduce == "max":

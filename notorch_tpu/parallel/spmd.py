@@ -51,7 +51,6 @@ class SpmdTrainer:
         self.mesh = mesh
         self.data_axis = data_axis
         self.graph_axis = graph_axis
-        axes = (data_axis,) + ((graph_axis,) if graph_axis else ())
         batch_spec = P(data_axis, graph_axis) if graph_axis else P(data_axis, None)
 
         def local_train_step(state: TrainState, batch):
@@ -130,7 +129,6 @@ class SpmdTrainer:
         """Initialize params (replicated). Runs inside shard_map so the
         model's collective axes are bound during the init trace."""
         params_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
-        axes = (self.data_axis,) + ((self.graph_axis,) if self.graph_axis else ())
         batch_spec = (
             P(self.data_axis, self.graph_axis)
             if self.graph_axis
