@@ -9,12 +9,20 @@ state resident in VMEM:
     HBM traffic = read h0 + read W[depth] + write h_final
 
 i.e. one round trip of the edge tensor for the whole block, instead of
-~4 per layer. The scatter/gather one-hot operators are built in-register
-from src/dst with ``broadcasted_iota`` comparisons and consumed directly by
-``dot_general`` on the MXU. The depth loop is unrolled statically (dynamic
-indexing of the stacked weights stresses Mosaic), and the small integer
-index arrays are passed whole (their tiles are sliced in-kernel), which
-sidesteps the (8, 128) block-tiling constraint.
+~4 per layer. The scatter→gather pair (E→V segment-sum then V→E gather)
+is algebraically collapsed into ONE edge-to-edge operator
+``A[e,e'] = [src(e) == dst(e')] * mask(e')`` built in-register with a
+single VPU broadcast-compare (no one-hot matmuls), and the per-layer
+update uses the permutation identity ``(A@m - swap(m)) @ W =
+A@(mW) - swap(mW)`` so each layer is exactly two MXU contractions with
+good shapes: ``[NB*E, d] @ [d, d]`` and batched ``[E, E] @ [E, d]``
+(E >= 128, vs the naive form's two V~80-dim contractions). The depth
+loop is unrolled statically (dynamic indexing of the stacked weights
+stresses Mosaic), and the small integer index arrays are passed whole
+(their tiles are sliced in-kernel), which sidesteps the (8, 128)
+block-tiling constraint. ``matmul_dtype="bfloat16"`` casts only the
+MXU operands (state stays f32 in VMEM/HBM — full-bf16 state measured
+~3x slower on v5e, a whole-kernel layout effect).
 
 Forward-only (the jnp path remains the autodiff route); used for inference
 and the edges/sec benchmark via
@@ -35,6 +43,15 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
+def _edge_adjacency(src, dst, emask, mm_dtype):
+    """``A[b,e,e'] = 1 iff src[e] == dst[e'] and e' is a real edge`` — the
+    collapsed scatter+gather operator, built with one broadcast compare."""
+    mask_ok = emask.astype(jnp.float32) > 0.0
+    return jnp.where(
+        (src[:, :, None] == dst[:, None, :]) & mask_ok[:, None, :], 1.0, 0.0
+    ).astype(mm_dtype)
+
+
 def _block_kernel(
     src_ref,  # [B, E] i32 (full array)
     dst_ref,  # [B, E] i32 (full array)
@@ -48,6 +65,7 @@ def _block_kernel(
     n_nodes: int,
     tile: int,
     residual: bool,
+    mm_dtype,
 ):
     i = pl.program_id(0)
     h = h_ref[:]
@@ -56,15 +74,9 @@ def _block_kernel(
     src = src_ref[pl.ds(row0, NB), :]
     dst = dst_ref[pl.ds(row0, NB), :]
     emask = emask_ref[pl.ds(row0, NB), :]
+    mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, n_nodes, E), 1)
-    # emask arrives as f32; bf16 comparisons don't lower on all targets
-    mask_ok = emask.astype(jnp.float32) > 0.0
-    S = jnp.where(
-        (dst[:, None, :] == v_iota) & mask_ok[:, None, :], 1.0, 0.0
-    ).astype(h.dtype)
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, n_nodes), 2)
-    G = jnp.where(src[:, :, None] == g_iota, 1.0, 0.0).astype(h.dtype)
+    A = _edge_adjacency(src, dst, emask, mm)
 
     def pair_swap(x):
         p = x.reshape(NB, E // 2, 2, d)
@@ -73,33 +85,37 @@ def _block_kernel(
 
     for layer_idx in range(depth):  # static unroll
         m = jnp.maximum(h, 0.0)
-        nm = jax.lax.dot_general(
-            S, m, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype)
-        em = jax.lax.dot_general(
-            G, nm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype) - pair_swap(m)
         W = w_ref[layer_idx]
         bb = b_ref[layer_idx]
+        mW = (
+            jax.lax.dot_general(
+                m.reshape(NB * E, d).astype(mm), W.astype(mm),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            .astype(h.dtype)
+            .reshape(NB, E, d)
+        )
         out = (
             jax.lax.dot_general(
-                em.reshape(NB * E, d), W, (((1,), (0,)), ((), ())),
+                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(h.dtype)
-            + bb[None, :]
-        ).reshape(NB, E, d)
+            - pair_swap(mW)
+            + bb[None, None, :]
+        )
         h = h + out if residual else out
 
     out_ref[:] = h
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
 def fused_dense_mpnn_block_trainable(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
-    interpret: bool = False,
+    interpret: bool = False, matmul_dtype: str | None = None,
 ):
     """Differentiable wrapper: Pallas forward, hand-written backward that
     replays the (cheap) forward in jnp to recover per-layer residuals — so
@@ -108,6 +124,7 @@ def fused_dense_mpnn_block_trainable(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
 
 
@@ -131,16 +148,18 @@ def _jnp_forward_collect(h0, S, G, weights, biases, depth, residual):
 
 
 def _fused_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
-               depth, n_nodes, residual, mols_per_tile, interpret):
+               depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype):
     out = fused_dense_mpnn_block(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
     return out, (edge_hiddens, src, dst, edge_mask, weights, biases)
 
 
-def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, res, g):
+def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
+               res, g):
     h0, src, dst, edge_mask, weights, biases = res
     B, E, d = h0.shape
     v_ids = jnp.arange(n_nodes)
@@ -178,11 +197,11 @@ def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, res, g):
 fused_dense_mpnn_block_trainable.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def fused_dense_mpnn_block_trainable_fast(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
-    interpret: bool = False,
+    interpret: bool = False, matmul_dtype: str | None = None,
 ):
     """Like :func:`fused_dense_mpnn_block_trainable` but with the BACKWARD
     also running as a Pallas kernel (per-tile recompute + reverse sweep in
@@ -192,25 +211,29 @@ def fused_dense_mpnn_block_trainable_fast(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
 
 
 def _fast_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
-              depth, n_nodes, residual, mols_per_tile, interpret):
+              depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype):
     out = fused_dense_mpnn_block(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
     return out, (edge_hiddens, src, dst, edge_mask, weights)
 
 
-def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, res, g):
+def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
+              res, g):
     h0, src, dst, edge_mask, weights = res
     g_h0, g_W, g_b = fused_dense_mpnn_block_bwd(
         h0, src, dst, edge_mask, weights, g,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
     return g_h0, None, None, None, g_W, g_b
 
@@ -233,6 +256,7 @@ def _bwd_kernel(
     n_nodes: int,
     tile: int,
     residual: bool,
+    mm_dtype,
 ):
     i = pl.program_id(0)
     h = h0_ref[:]
@@ -241,14 +265,9 @@ def _bwd_kernel(
     src = src_ref[pl.ds(row0, NB), :]
     dst = dst_ref[pl.ds(row0, NB), :]
     emask = emask_ref[pl.ds(row0, NB), :]
+    mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, n_nodes, E), 1)
-    mask_ok = emask.astype(jnp.float32) > 0.0
-    S = jnp.where((dst[:, None, :] == v_iota) & mask_ok[:, None, :], 1.0, 0.0).astype(
-        h.dtype
-    )
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, n_nodes), 2)
-    G = jnp.where(src[:, :, None] == g_iota, 1.0, 0.0).astype(h.dtype)
+    A = _edge_adjacency(src, dst, emask, mm)
 
     def pair_swap(x):
         p = x.reshape(NB, E // 2, 2, d)
@@ -265,47 +284,40 @@ def _bwd_kernel(
     hs = [h]
     for l in range(depth):
         m = jnp.maximum(hs[l], 0.0)
-        nm = jax.lax.dot_general(
-            S, m, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype)
-        em = jax.lax.dot_general(
-            G, nm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype) - pair_swap(m)
-        out = jax.lax.dot_general(
-            em.reshape(NB * E, d), w_ref[l], (((1,), (0,)), ((), ())),
+        mW = jax.lax.dot_general(
+            m.reshape(NB * E, d).astype(mm), w_ref[l].astype(mm),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(h.dtype).reshape(NB, E, d)
+        out = jax.lax.dot_general(
+            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype) - pair_swap(mW)
         hs.append(hs[l] + out if residual else out)
 
     g = g_ref[:]
     for l in reversed(range(depth)):
         h_in = hs[l]
         m = jnp.maximum(h_in, 0.0)
-        nm = jax.lax.dot_general(
-            S, m, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype)
-        em = jax.lax.dot_general(
-            G, nm, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype) - pair_swap(m)
-
-        # weight/bias grads: accumulate across tiles
+        # cotangent on mW: A^T @ g - swap(g)  (swap is its own transpose)
+        g_mW = jax.lax.dot_general(
+            A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype) - pair_swap(g)
+        # weight/bias grads: accumulate across tiles. g_W = m^T @ g_mW
+        # (== em^T @ g of the naive form, since swap^T == swap)
         gw_ref[l] += jax.lax.dot_general(
-            em.reshape(NB * E, d), g.reshape(NB * E, d),
+            m.reshape(NB * E, d).astype(mm), g_mW.reshape(NB * E, d).astype(mm),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(gw_ref.dtype)
         gb_ref[l] += jnp.sum(g.reshape(NB * E, d), axis=0).astype(gb_ref.dtype)
 
-        g_em = jax.lax.dot_general(
-            g.reshape(NB * E, d), w_ref[l], (((1,), (1,)), ((), ())),
+        g_m = jax.lax.dot_general(
+            g_mW.reshape(NB * E, d).astype(mm), w_ref[l].astype(mm),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(h.dtype).reshape(NB, E, d)
-        g_nm = jax.lax.dot_general(
-            G, g_em, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype)  # [NB, V, d]
-        g_m = jax.lax.dot_general(
-            S, g_nm, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(h.dtype) - pair_swap(g_em)
         g_h = g_m * jnp.where(h_in > 0, 1.0, 0.0).astype(h.dtype)
         g = g_h + g if residual else g_h
 
@@ -314,7 +326,9 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "n_nodes", "residual", "mols_per_tile", "interpret"),
+    static_argnames=(
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+    ),
 )
 def fused_dense_mpnn_block_bwd(
     edge_hiddens,  # [B, E, d] h0
@@ -329,6 +343,7 @@ def fused_dense_mpnn_block_bwd(
     residual: bool = True,
     mols_per_tile: int = 8,
     interpret: bool = False,
+    matmul_dtype: str | None = None,
 ):
     """Pallas backward for the fused block: per-tile forward recompute +
     reverse sweep entirely in VMEM; weight grads accumulate across the
@@ -340,7 +355,8 @@ def fused_dense_mpnn_block_bwd(
     emask = edge_mask.astype(jnp.float32)
 
     kernel = functools.partial(
-        _bwd_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual
+        _bwd_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual,
+        mm_dtype=matmul_dtype,
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
@@ -370,7 +386,9 @@ def fused_dense_mpnn_block_bwd(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "n_nodes", "residual", "mols_per_tile", "interpret"),
+    static_argnames=(
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+    ),
 )
 def fused_dense_mpnn_block(
     edge_hiddens: jnp.ndarray,  # [B, E_m, d] initial edge hiddens
@@ -385,8 +403,13 @@ def fused_dense_mpnn_block(
     residual: bool = True,
     mols_per_tile: int = 8,
     interpret: bool = False,
+    matmul_dtype: str | None = None,
 ) -> jnp.ndarray:
-    """Run the whole D-MPNN block; returns final edge hiddens [B, E_m, d]."""
+    """Run the whole D-MPNN block; returns final edge hiddens [B, E_m, d].
+
+    ``matmul_dtype``: cast MXU operands to this dtype (e.g. ``"bfloat16"``);
+    accumulation and the VMEM-resident state stay in the input dtype.
+    """
     B, E, d = edge_hiddens.shape
     NB = min(mols_per_tile, B)
     if B % NB != 0:
@@ -394,7 +417,8 @@ def fused_dense_mpnn_block(
     emask = edge_mask.astype(jnp.float32)
 
     kernel = functools.partial(
-        _block_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual
+        _block_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual,
+        mm_dtype=matmul_dtype,
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(

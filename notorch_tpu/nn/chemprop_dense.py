@@ -104,6 +104,7 @@ def fused_block_apply(
     residual: bool = True,
     mols_per_tile: int = 8,
     interpret: bool = False,
+    matmul_dtype: str | None = None,
 ) -> DenseBatchedGraph:
     """Inference fast path: run a :class:`DenseChempropBlock`'s computation
     through the fused Pallas kernel (one VMEM-resident kernel for the whole
@@ -128,6 +129,7 @@ def fused_block_apply(
         h0, G.src, G.dst, G.edge_mask, Ws, bs,
         depth=depth, n_nodes=G.nodes_per_graph, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
     )
     S = G.scatter_matrix(edge_hiddens.dtype)
     node_hiddens = jax.lax.dot_general(
@@ -153,6 +155,8 @@ class FusedDenseChempropBlock(nn.Module):
     # Pallas backward (per-tile recompute in VMEM) — 2.85x faster fwd+bwd
     # than the jnp backward on v5e; gradients identical (tested)
     pallas_backward: bool = True
+    # cast MXU operands inside the kernels (e.g. "bfloat16"); state stays f32
+    matmul_dtype: str | None = None
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
@@ -187,6 +191,7 @@ class FusedDenseChempropBlock(nn.Module):
         edge_hiddens = fn(
             h0, G.src, G.dst, G.edge_mask, Ws, bs,
             self.depth, G.nodes_per_graph, self.residual, max(tile, 1), interpret,
+            self.matmul_dtype,
         )
         S = G.scatter_matrix(edge_hiddens.dtype)
         node_hiddens = jnp.einsum("bve,bed->bvd", S, edge_hiddens)

@@ -14,11 +14,14 @@ the dense/fused layout on a multi-chip slice.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from notorch_tpu.model.model import Model, TrainState
+from notorch_tpu.model.model import EPS, Model, TrainState
 
-__all__ = ["DenseDataParallel"]
+__all__ = ["DenseDataParallel", "DenseSpmdTrainer"]
 
 
 class DenseDataParallel:
@@ -47,3 +50,107 @@ class DenseDataParallel:
 
     def eval_step(self, params, batch, extra_vars=None):
         return self.model.eval_step(params, self.shard_batch(batch), extra_vars)
+
+
+class DenseSpmdTrainer:
+    """Explicit-SPMD data parallelism for the dense layout via ``shard_map``.
+
+    Use this instead of :class:`DenseDataParallel` when the model contains
+    ``pallas_call`` custom kernels (``layout="dense_fused"``): XLA's GSPMD
+    partitioner treats a custom call as opaque and replicates it (gathering
+    the full batch onto every chip), whereas under ``shard_map`` each device
+    runs the kernel on its local molecule shard and only the gradient
+    ``pmean`` crosses the ICI.
+
+    Loss-term means over equal-size molecule shards compose exactly:
+    ``pmean`` of per-shard means == the unsharded global mean, so gradients
+    equal the single-device step bit-for-bit (tested).
+    """
+
+    def __init__(self, model: Model, mesh: Mesh, data_axis: str = "data"):
+        self.model = model
+        self.mesh = mesh
+        self.data_axis = data_axis
+        batch_spec = P(data_axis)
+
+        def local_train_step(state: TrainState, batch):
+            if state.extra_vars:
+                raise ValueError(
+                    "DenseSpmdTrainer does not thread mutable collections "
+                    "(e.g. BatchNorm batch_stats); use the jnp dense layout "
+                    "with DenseDataParallel for those models"
+                )
+            rng = jax.random.fold_in(state.rng, jax.lax.axis_index(data_axis))
+            rng, dropout_rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                out = model.network.apply(
+                    {"params": params}, dict(batch), training=True,
+                    rngs={"dropout": dropout_rng},
+                )
+                out = model._apply_transforms(out, "targets")
+                terms = model._loss_terms(out)
+                total = sum(
+                    model.train_loss_weights.get(name, EPS) * v
+                    for name, v in terms.items()
+                )
+                return total, terms
+
+            (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            terms = jax.lax.pmean(terms, data_axis)
+            updates, opt_state = model.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                step=state.step + 1,
+                rng=state.rng,
+                extra_vars=state.extra_vars,
+            )
+            logs = {f"train/{k}": v for k, v in terms.items()}
+            logs["train/loss"] = loss
+            return new_state, logs
+
+        self._train_step = jax.jit(
+            shard_map(
+                local_train_step,
+                mesh=mesh,
+                in_specs=(P(), batch_spec),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+
+        def local_eval_step(params, batch):
+            out = model.network.apply({"params": params}, dict(batch), training=False)
+            out = model._apply_transforms(out, "targets")
+            terms = model._loss_terms(out)
+            terms.update(model._metric_terms(out))
+            return jax.lax.pmean(terms, data_axis)
+
+        self._eval_step = jax.jit(
+            shard_map(
+                local_eval_step,
+                mesh=mesh,
+                in_specs=(P(), batch_spec),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
+    def init(self, rng: jax.Array, example_batch) -> TrainState:
+        state = self.model.init(rng, example_batch)
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
+
+    def train_step(self, state: TrainState, batch):
+        return self._train_step(state, batch)
+
+    def eval_step(self, params, batch):
+        return self._eval_step(params, batch)

@@ -55,6 +55,38 @@ def test_fused_kernel_matches_dense_block():
     )
 
 
+def test_fused_kernel_bf16_matmuls_close_to_f32():
+    """matmul_dtype="bfloat16" keeps f32 state and lands near the f32 result
+    (MXU-operand rounding only)."""
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 32, 3
+    dbg = pad_graphs_dense(graphs, nodes_per_graph=32, edges_per_graph=64)
+    key = jax.random.PRNGKey(7)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    block = DenseChempropBlock(hidden_dim=d, depth=depth)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    bv = block.init(key, G)
+    ref = block.apply(bv, G)
+
+    Gm = G.gather_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+    Ws = jnp.stack(
+        [bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)]
+    )
+    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    out = fused_dense_mpnn_block(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=32, residual=True, mols_per_tile=2, interpret=True,
+        matmul_dtype="bfloat16",
+    )
+    assert out.dtype == h0.dtype  # state stays f32
+    emask = np.asarray(G.edge_mask)
+    a, b = np.asarray(out)[emask], np.asarray(ref.edge_feats)[emask]
+    denom = np.abs(b).max()
+    assert np.abs(a - b).max() / denom < 0.05
+
+
 def test_fused_kernel_non_residual():
     graphs = [PIPE(s) for s in SMIS[:2]]
     d, depth = 16, 2

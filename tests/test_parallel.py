@@ -227,3 +227,50 @@ def test_dense_data_parallel_matches_single_device():
         jax.device_get(state.params),
         jax.device_get(state_ref.params),
     )
+
+
+@pytest.mark.multihost
+def test_dense_spmd_trainer_fused_kernel_matches_single_device():
+    """shard_map dense dp with the PALLAS fused kernel: sharded step ==
+    single-device step (GSPMD cannot partition a pallas_call — this is the
+    fused layout's multi-chip path)."""
+    from notorch_tpu.data.dense import pad_graphs_dense
+    from notorch_tpu.parallel.dense_dp import DenseSpmdTrainer
+
+    graphs = [PIPE(s) for s in SMIS]
+    dbg = pad_graphs_dense(graphs, 32, 64, graph_cap=8)
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(8, 1)).astype(np.float32)
+    batch = {"inputs.G": dbg, "targets.y": y, "targets.y_mask": np.ones_like(y, bool)}
+
+    model = build_dmpnn(
+        hidden_dim=16, depth=2, layout="dense_fused", optimizer=optax.sgd(1e-2)
+    )
+    state_ref = model.init(jax.random.PRNGKey(0), batch)
+    state_ref, logs_ref = model.train_step(state_ref, batch)
+
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    model2 = build_dmpnn(
+        hidden_dim=16, depth=2, layout="dense_fused", optimizer=optax.sgd(1e-2)
+    )
+    trainer = DenseSpmdTrainer(model2, mesh)
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    state, logs = trainer.train_step(state, batch)
+
+    np.testing.assert_allclose(
+        float(logs["train/loss"]), float(logs_ref["train/loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        ),
+        jax.device_get(state.params),
+        jax.device_get(state_ref.params),
+    )
+
+    # eval side: pmean of shard metrics == global metric
+    logs_e = trainer.eval_step(state.params, batch)
+    logs_ref_e, _ = model.eval_step(state_ref.params, batch)
+    np.testing.assert_allclose(
+        float(logs_e["mse"]), float(logs_ref_e["val/mse"]), rtol=1e-5
+    )
