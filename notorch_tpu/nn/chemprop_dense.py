@@ -152,8 +152,9 @@ class FusedDenseChempropBlock(nn.Module):
     depth: int = 3
     residual: bool = True
     mols_per_tile: int = 8
-    # Pallas backward (per-tile recompute in VMEM) — 2.85x faster fwd+bwd
-    # than the jnp backward on v5e; gradients identical (tested)
+    # Pallas backward (per-tile recompute in VMEM) — 95.6M edge-layer/s
+    # fwd+bwd on v5e vs 14.3M with the jnp recompute backward; gradients
+    # identical (tested)
     pallas_backward: bool = True
     # cast MXU operands inside the kernels (e.g. "bfloat16"); state stays f32
     matmul_dtype: str | None = None
