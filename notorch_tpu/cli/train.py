@@ -145,11 +145,170 @@ def build_model(cfg: dict, transforms: dict | None, optimizer):
     raise ValueError(f"unknown model kind {kind!r}")
 
 
+class _PretrainLoader:
+    """Re-masks molecules with a fresh seed every epoch (``__iter__``) and
+    yields ``{"inputs.G", "inputs.node_labels"}`` batches at ladder-rounded
+    caps (bounded compile count)."""
+
+    def __init__(self, graphs, mask_rate, batch_size, seed=0, shuffle=True):
+        import numpy as np
+
+        self.graphs = graphs
+        self.mask_rate = mask_rate
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self._epoch = 0
+        self._rg = np.random.default_rng(seed)
+
+    def __len__(self):
+        return -(-len(self.graphs) // self.batch_size)
+
+    def __iter__(self):
+        import numpy as np
+
+        from notorch_tpu.data.batching import bucket_ladder, round_up_ladder
+        from notorch_tpu.models.pretrain import MaskAtoms
+
+        node_ladder = bucket_ladder(256, 1 << 22)
+        edge_ladder = bucket_ladder(512, 1 << 22)
+        masker = MaskAtoms(mask_rate=self.mask_rate, seed=self.seed + self._epoch)
+        self._epoch += 1
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            self._rg.shuffle(order)
+        for s in range(0, len(order), self.batch_size):
+            chunk = [masker(self.graphs[i]) for i in order[s : s + self.batch_size]]
+            total_v = sum(g.num_nodes for g in chunk) + 1
+            total_e = max(sum(g.num_edges for g in chunk), 2)
+            node_cap = round_up_ladder(total_v, node_ladder)
+            edge_cap = round_up_ladder(total_e, edge_ladder)
+            bg, labels = MaskAtoms.collate(chunk, node_cap, edge_cap)
+            yield {"inputs.G": bg, "inputs.node_labels": labels}
+
+
+def run_pretrain(cfg: dict) -> dict:
+    """Masked-atom self-supervised pretraining (BASELINE config 5). With
+    ``trainer.spmd: {data: D, graph: G}`` the step runs under ``shard_map``
+    over a D x G mesh: data parallelism x edge-partitioned message passing
+    (the multi-host PCQM4Mv2 recipe, sized to the devices available)."""
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from notorch_tpu.models.pretrain import MaskAtoms, build_masked_atom_pretrainer
+    from notorch_tpu.training.loop import fit
+
+    data_cfg = cfg["data"]
+    model_cfg = dict(cfg.get("model", {}))
+    model_cfg.pop("kind", None)
+    trainer_cfg = cfg.get("trainer", {})
+    seed = trainer_cfg.get("seed", 0)
+    mask_rate = model_cfg.pop("mask_rate", 0.15)
+
+    df = pd.read_csv(data_cfg["csv"])
+    limit = data_cfg.get("limit")
+    smis = df[data_cfg.get("smiles_col", "smiles")].tolist()[: limit or None]
+    pipe = _smiles_pipeline()
+    graphs = [pipe(s) for s in smis]
+
+    optimizer = build_optimizer(cfg.get("optimizer"))
+    batch_size = trainer_cfg.get("batch_size", 64)
+    epochs = trainer_cfg.get("epochs", 1)
+    spmd = trainer_cfg.get("spmd")
+
+    if not spmd:
+        model = build_masked_atom_pretrainer(optimizer=optimizer, **model_cfg)
+        loader = _PretrainLoader(graphs, mask_rate, batch_size, seed=seed)
+        checkpointer = None
+        if trainer_cfg.get("checkpoint_dir"):
+            from notorch_tpu.training.checkpoint import Checkpointer
+
+            checkpointer = Checkpointer(
+                trainer_cfg["checkpoint_dir"],
+                max_to_keep=trainer_cfg.get("max_to_keep", 3),
+            )
+        state = model.init(jax.random.PRNGKey(seed), next(iter(loader)))
+        result = fit(
+            model, state, loader, epochs=epochs,
+            log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
+            checkpointer=checkpointer, resume=trainer_cfg.get("resume", False),
+        )
+        return {"history": result.history}
+
+    # ---- SPMD: data x edge-partition mesh --------------------------------
+    from notorch_tpu.parallel.mesh import make_mesh
+    from notorch_tpu.parallel.partition import build_spmd_batch
+    from notorch_tpu.parallel.spmd import SpmdTrainer
+
+    n_data = spmd.get("data", len(jax.devices()))
+    n_graph = spmd.get("graph", 1)
+    graph_axis = "graph" if n_graph > 1 else None
+    mesh = make_mesh(
+        {"data": n_data, **({"graph": n_graph} if graph_axis else {})},
+        devices=jax.devices()[: n_data * n_graph],
+    )
+    model = build_masked_atom_pretrainer(
+        optimizer=optimizer, graph_axis=graph_axis, **model_cfg
+    )
+    trainer = SpmdTrainer(model, mesh, data_axis="data", graph_axis=graph_axis)
+
+    per = max(1, batch_size // n_data)
+    group_size = per * n_data
+    # fixed caps -> one compiled shape; edge cap divisible by 2*n_graph
+    max_vs, max_es = [], []
+    for s in range(0, len(graphs) - group_size + 1, group_size):
+        for gi in range(n_data):
+            grp = graphs[s + gi * per : s + (gi + 1) * per]
+            max_vs.append(sum(g.num_nodes for g in grp) + 1)
+            max_es.append(sum(g.num_edges for g in grp))
+    node_cap = -(-max(max_vs) // 8) * 8
+    unit = 2 * n_graph
+    edge_cap = -(-max(max_es) // unit) * unit
+
+    def collate_labels(grp, node_cap):
+        labels = np.full(node_cap, -1, dtype=np.int32)
+        off = 0
+        for g in grp:
+            labels[off : off + g.num_nodes] = g.node_labels
+            off += g.num_nodes
+        return labels
+
+    state = None
+    history = []
+    rg = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        masker = MaskAtoms(mask_rate=mask_rate, seed=seed + epoch)
+        order = rg.permutation(len(graphs))
+        losses = []
+        for s in range(0, len(order) - group_size + 1, group_size):
+            groups, labels = [], []
+            for gi in range(n_data):
+                grp = [masker(graphs[i]) for i in order[s + gi * per : s + (gi + 1) * per]]
+                groups.append(grp)
+                labels.append(collate_labels(grp, node_cap))
+            batch = build_spmd_batch(
+                groups, None, node_cap, edge_cap, per, n_edge_shards=n_graph,
+                extra_inputs={"node_labels": labels},
+            )
+            if state is None:
+                state = trainer.init(jax.random.PRNGKey(seed), batch)
+            state, logs = trainer.train_step(state, batch)
+            losses.append(float(logs["train/loss"]))
+        rec = {"epoch": epoch, "train/loss": float(np.mean(losses))}
+        history.append(rec)
+        print(json.dumps({k: _jsonable(v) for k, v in rec.items()}))
+    return {"history": history}
+
+
 def run(cfg: dict) -> dict:
     import jax
 
     from notorch_tpu.data.batching import DataLoader, Subset, random_split
     from notorch_tpu.training.loop import evaluate, fit
+
+    if cfg.get("model", {}).get("kind") == "pretrain":
+        return run_pretrain(cfg)
 
     trainer_cfg = cfg.get("trainer", {})
     seed = trainer_cfg.get("seed", 0)

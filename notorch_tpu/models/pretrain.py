@@ -115,8 +115,15 @@ def build_masked_atom_pretrainer(
     depth: int = 3,
     num_elements: int = len(ELEMENTS) + 1,
     learning_rate: float = 1e-3,
+    optimizer=None,
+    graph_axis: str | None = None,
 ) -> Model:
-    """embed -> chemprop -> per-node head -> masked CE on element identity."""
+    """embed -> chemprop -> per-node head -> masked CE on element identity.
+
+    ``graph_axis``: mesh axis name for edge-partitioned message passing
+    (sets ``ChempropBlock.psum_axis`` so the E->V reduction psums over ICI;
+    use with :class:`notorch_tpu.parallel.spmd.SpmdTrainer`).
+    """
     modules = {
         "embed": {
             "module": GraphEmbedding(hidden_dim=hidden_dim),
@@ -124,7 +131,9 @@ def build_masked_atom_pretrainer(
             "out_keys": ["G"],
         },
         "mp": {
-            "module": ChempropBlock(hidden_dim=hidden_dim, depth=depth),
+            "module": ChempropBlock(
+                hidden_dim=hidden_dim, depth=depth, psum_axis=graph_axis
+            ),
             "in_keys": ["embed.G"],
             "out_keys": ["G"],
         },
@@ -141,4 +150,8 @@ def build_masked_atom_pretrainer(
             "weight": 1.0,
         }
     }
-    return Model(modules=modules, losses=losses, optimizer=optax.adam(learning_rate))
+    return Model(
+        modules=modules,
+        losses=losses,
+        optimizer=optimizer if optimizer is not None else optax.adam(learning_rate),
+    )

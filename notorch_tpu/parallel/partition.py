@@ -74,6 +74,7 @@ def build_spmd_batch(
     edge_cap: int,
     graph_cap: int,
     n_edge_shards: int = 1,
+    extra_inputs: dict[str, list[np.ndarray]] | None = None,
 ):
     """Build a stacked SPMD batch dict shaped ``[n_data, n_edge_shards, ...]``
     on every leaf (node-side and target leaves are tiled across the edge-shard
@@ -82,18 +83,23 @@ def build_spmd_batch(
 
     ``graph_groups[i]`` is the molecule list for data-shard ``i``;
     ``target_arrays[name][i]`` the matching ``[graph_cap, t]`` target rows.
+    ``extra_inputs[name][i]`` are node-side input arrays (e.g. the masked
+    pretraining labels, ``[node_cap]``) stored as ``inputs.<name>`` and
+    replicated across the edge-shard axis.
     """
     data_entries = []
     for gi, graphs in enumerate(graph_groups):
         bg = pad_graphs(graphs, node_cap, edge_cap, graph_cap=graph_cap, np_out=True)
         shards = shard_graph_edges(bg, n_edge_shards)
         entry = {"inputs.G": stack_pytrees(shards)}
+        tiled = lambda x: np.broadcast_to(x, (n_edge_shards,) + x.shape).copy()
         for name, arr in (target_arrays or {}).items():
             rows = np.asarray(arr[gi], dtype=np.float32)
             mask = ~np.isnan(rows)
-            tiled = lambda x: np.broadcast_to(x, (n_edge_shards,) + x.shape).copy()
             entry[f"targets.{name}"] = tiled(np.nan_to_num(rows, nan=0.0))
             entry[f"targets.{name}_mask"] = tiled(mask)
+        for name, arrs in (extra_inputs or {}).items():
+            entry[f"inputs.{name}"] = tiled(np.asarray(arrs[gi]))
         # node-side leaves of the graph are per-shard already identical
         # (stack_pytrees tiled them); nothing else to do
         data_entries.append(entry)

@@ -122,3 +122,51 @@ def test_classification_host_metrics(tmp_path, smis):
     rec = out["history"][-1]
     assert "val/y_auroc" in rec and "val/y_auprc" in rec
     assert 0.0 <= rec["val/y_auroc"] <= 1.0
+
+
+def test_run_pretrain_config(tmp_path):
+    """kind: pretrain (BASELINE config 5 recipe) trains via the CLI; loss
+    falls; checkpoints written; masks re-drawn per epoch."""
+    cfg = load_config("configs/pcqm4m_pretrain.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=6",
+            "trainer.batch_size=32",
+            "model.hidden_dim=32",
+            "model.depth=2",
+            "optimizer=null",
+            f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        ],
+    )
+    cfg["optimizer"] = {"name": "adam", "lr": 3e-3}
+    cfg["data"]["csv"] = "tests/data/smis.csv"
+    cfg["data"]["smiles_col"] = "smiles"
+
+    out = run(cfg)
+    assert len(out["history"]) == 6
+    losses = [h["train/loss"] for h in out["history"]]
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0]
+    assert (tmp_path / "ckpt").exists()
+
+
+def test_run_pretrain_spmd(tmp_path):
+    """trainer.spmd: pretraining under shard_map on a data x graph mesh."""
+    cfg = load_config("configs/pcqm4m_pretrain.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=3",
+            "trainer.batch_size=16",
+            "model.hidden_dim=32",
+            "model.depth=2",
+            "trainer.checkpoint_dir=null",
+        ],
+    )
+    cfg["optimizer"] = {"name": "adam", "lr": 3e-3}
+    cfg["data"]["csv"] = "tests/data/smis.csv"
+    cfg["trainer"]["spmd"] = {"data": 4, "graph": 2}
+
+    out = run(cfg)
+    losses = [h["train/loss"] for h in out["history"]]
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0]
