@@ -18,7 +18,7 @@ from notorch_tpu.data.dataset import (
 from notorch_tpu.data.dense import DenseBatchedGraph, pad_graphs_dense
 from notorch_tpu.data.graph import BatchedGraph, Graph, pad_graphs
 from notorch_tpu.data.splits import scaffold_split
-from notorch_tpu.model.model import Model, TrainState
+from notorch_tpu.model.model import Model, TrainState, fill_pred_transform_keys
 from notorch_tpu.models.dmpnn import build_dmpnn
 from notorch_tpu.models.multicomponent import build_multicomponent_dmpnn
 from notorch_tpu.models.pretrain import build_masked_atom_pretrainer
@@ -43,6 +43,7 @@ __all__ = [
     "TrainState",
     "TransformManager",
     "build_dmpnn",
+    "fill_pred_transform_keys",
     "build_masked_atom_pretrainer",
     "build_multicomponent_dmpnn",
     "evaluate",

@@ -233,6 +233,7 @@ def run_pretrain(cfg: dict) -> dict:
             model, state, loader, epochs=epochs,
             log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
             checkpointer=checkpointer, resume=trainer_cfg.get("resume", False),
+            steps_per_dispatch=trainer_cfg.get("steps_per_dispatch", 1),
         )
         return {"history": result.history}
 
@@ -382,6 +383,7 @@ def run(cfg: dict) -> dict:
         log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
         host_metrics=host_metrics or None,
         checkpointer=checkpointer,
+        steps_per_dispatch=trainer_cfg.get("steps_per_dispatch", 1),
     )
 
     out = {"history": result.history}

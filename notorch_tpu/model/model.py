@@ -29,6 +29,26 @@ def is_target_key(key: str) -> bool:
     return key.split(".")[0] == TARGET_KEY_PREFIX
 
 
+def fill_pred_transform_keys(transforms: Mapping | None, pred_key: str):
+    """Point pred-side task transforms at ``pred_key`` where unset.
+
+    ``MolecularDataset.build_task_transform_configs`` knows the target
+    statistics but not which module emits predictions, so it leaves
+    ``preds.key`` as ``None``; model builders call this with their own
+    output key so inverse transforms (denormalization, MVE, Dirichlet...)
+    are applied by ``predict_step`` without any manual wiring."""
+    if not transforms:
+        return transforms
+    out = {}
+    for name, cfg in transforms.items():
+        cfg = dict(cfg)
+        preds = cfg.get("preds")
+        if preds and preds.get("module") is not None and preds.get("key") is None:
+            cfg["preds"] = {**preds, "key": pred_key}
+        out[name] = cfg
+    return out
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
@@ -78,6 +98,7 @@ class Model:
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._train_steps = jax.jit(self._train_steps_impl, donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl)
         self._predict_step = jax.jit(self._predict_step_impl)
 
@@ -166,6 +187,19 @@ class Model:
         logs["train/loss"] = loss
         return new_state, logs
 
+    def _train_steps_impl(self, state: TrainState, batches):
+        """K optimizer steps in ONE device dispatch: ``lax.scan`` of the
+        train step over a stacked batch pytree (leading axis = steps).
+
+        This is the TPU-idiomatic answer to host/dispatch overhead (and, on
+        tunneled devices, round-trip latency): the whole scan compiles to a
+        single XLA program, so K steps cost one launch + K compute bodies
+        instead of K launches. Logs are averaged over the K steps in-jit so
+        only scalars come back to host.
+        """
+        state, logs = jax.lax.scan(self._train_step_impl, state, batches)
+        return state, jax.tree.map(lambda x: x.mean(axis=0), logs)
+
     def _eval_step_impl(self, params, batch: Mapping[str, Any], extra_vars=None):
         out = self.network.apply(
             {"params": params, **(extra_vars or {})}, dict(batch), training=False
@@ -190,6 +224,13 @@ class Model:
     # -- public API ---------------------------------------------------------
     def train_step(self, state: TrainState, batch) -> tuple[TrainState, dict]:
         return self._train_step(state, batch)
+
+    def train_steps(self, state: TrainState, stacked_batches) -> tuple[TrainState, dict]:
+        """Run K train steps in one dispatch. ``stacked_batches`` is a batch
+        pytree with an extra leading steps axis on every array leaf (stack K
+        same-shape batches with ``jax.tree.map(lambda *xs: jnp.stack(xs),
+        *batches)``). Returns the advanced state and step-averaged logs."""
+        return self._train_steps(state, stacked_batches)
 
     def eval_step(self, params, batch, extra_vars=None) -> tuple[dict, dict]:
         return self._eval_step(params, batch, extra_vars)

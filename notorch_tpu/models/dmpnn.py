@@ -12,7 +12,7 @@ from typing import Sequence
 import optax
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
-from notorch_tpu.model.model import Model
+from notorch_tpu.model.model import Model, fill_pred_transform_keys
 from notorch_tpu.nn import agg as agg_mod
 from notorch_tpu.nn.chemprop import ChempropBlock
 from notorch_tpu.nn.embed import GraphEmbedding
@@ -170,6 +170,6 @@ def build_dmpnn(
         modules=modules,
         losses=losses,
         metrics=metrics if metrics is not None else default_metrics,
-        transforms=transforms,
+        transforms=fill_pred_transform_keys(transforms, "ffn.preds"),
         optimizer=optimizer if optimizer is not None else optax.adam(learning_rate),
     )

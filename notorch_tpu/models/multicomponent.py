@@ -13,7 +13,7 @@ import flax.linen as nn
 import optax
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
-from notorch_tpu.model.model import Model
+from notorch_tpu.model.model import Model, fill_pred_transform_keys
 from notorch_tpu.models.dmpnn import AGGREGATIONS, _HEAD_WIDTH, _LOSSES
 from notorch_tpu.nn.chemprop import ChempropBlock
 from notorch_tpu.nn.embed import GraphEmbedding
@@ -134,6 +134,6 @@ def build_multicomponent_dmpnn(
     return Model(
         modules=modules,
         losses=losses,
-        transforms=transforms,
+        transforms=fill_pred_transform_keys(transforms, "ffn.preds"),
         optimizer=optimizer if optimizer is not None else optax.adam(learning_rate),
     )

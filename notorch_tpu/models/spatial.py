@@ -10,7 +10,7 @@ from __future__ import annotations
 import optax
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
-from notorch_tpu.model.model import Model
+from notorch_tpu.model.model import Model, fill_pred_transform_keys
 from notorch_tpu.models.dmpnn import _HEAD_WIDTH, _LOSSES
 from notorch_tpu.nn.mlp import MLP
 from notorch_tpu.nn.spatial import agg as spatial_agg
@@ -97,6 +97,6 @@ def build_spatial_model(
     return Model(
         modules=modules,
         losses=losses,
-        transforms=transforms,
+        transforms=fill_pred_transform_keys(transforms, "ffn.preds"),
         optimizer=optimizer if optimizer is not None else optax.adam(learning_rate),
     )

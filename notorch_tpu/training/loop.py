@@ -23,6 +23,25 @@ class FitResult:
     history: list[dict] = field(default_factory=list)
 
 
+def _shape_signature(batch) -> tuple:
+    """Hashable (treedef, leaf shapes/dtypes) — two batches with equal
+    signatures can be stacked and scanned in one compiled program."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(batch)
+    return treedef, tuple(
+        (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x).__name__)))
+        for x in leaves
+    )
+
+
+def _stack_batches(batches: list):
+    import jax
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
 def fit(
     model: Model,
     state: TrainState,
@@ -34,6 +53,7 @@ def fit(
     host_metrics: Mapping[str, Mapping] | None = None,
     checkpointer=None,
     resume: bool = False,
+    steps_per_dispatch: int = 1,
 ) -> FitResult:
     """Run the jitted train step over the loader for ``epochs`` epochs.
 
@@ -41,6 +61,12 @@ def fit(
     accumulated eval outputs (AUROC/AUPRC/F1 — reference metrics.py:76-152).
     ``resume=True`` restores the latest checkpoint from ``checkpointer``
     before training (preemption-safe restart; SURVEY §5 failure recovery).
+
+    ``steps_per_dispatch > 1`` groups consecutive same-shape batches (the
+    bucketed loader emits only a few shapes) and runs each group as ONE
+    device dispatch via :meth:`Model.train_steps` (``lax.scan`` over the
+    stacked batches). Identical math to step-by-step training; amortizes
+    launch/tunnel latency, which dominates small-molecule steps on TPU.
     """
     history = []
     if resume and checkpointer is not None and checkpointer.latest_step() is not None:
@@ -49,15 +75,54 @@ def fit(
         t0 = time.perf_counter()
         train_logs: dict[str, float] = {}
         n_batches = 0
-        for batch in train_loader:
-            state, logs = model.train_step(state, batch)
-            n_batches += 1
-            if log_every and n_batches % log_every == 0:
-                logs = {k: float(v) for k, v in logs.items()}
-                if log_fn:
-                    log_fn({"epoch": epoch, "step": int(state.step), **logs})
+        pending: list = []
+        pending_sig = None
+
+        def run_group(state, group):
+            # Undersized (trailing / bucket-boundary) groups run step-by-step
+            # to reuse the single-step compile instead of compiling a scan
+            # per distinct group length.
+            if len(group) < steps_per_dispatch:
+                sums: dict[str, float] = {}
+                for b in group:
+                    state, logs = model.train_step(state, b)
+                    for k, v in logs.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                return state, {k: v / len(group) for k, v in sums.items()}
+            return model.train_steps(state, _stack_batches(group))
+
+        def handle_logs(logs, weight: int):
+            nonlocal n_batches
+            n_batches += weight
+            if log_every and (n_batches % log_every) < weight and log_fn:
+                log_fn(
+                    {"epoch": epoch, "step": int(state.step)}
+                    | {k: float(v) for k, v in logs.items()}
+                )
             for k, v in logs.items():
-                train_logs[k] = train_logs.get(k, 0.0) + float(v)
+                train_logs[k] = train_logs.get(k, 0.0) + float(v) * weight
+
+        for batch in train_loader:
+            if steps_per_dispatch <= 1:
+                state, logs = model.train_step(state, batch)
+                handle_logs(logs, 1)
+                continue
+            sig = _shape_signature(batch)
+            if pending and sig != pending_sig:
+                n = len(pending)
+                state, logs = run_group(state, pending)
+                pending = []
+                handle_logs(logs, n)
+            pending.append(batch)
+            pending_sig = sig
+            if len(pending) == steps_per_dispatch:
+                state, logs = run_group(state, pending)
+                pending = []
+                handle_logs(logs, steps_per_dispatch)
+        if pending:
+            n = len(pending)
+            state, logs = run_group(state, pending)
+            handle_logs(logs, n)
         train_logs = {k: v / max(n_batches, 1) for k, v in train_logs.items()}
 
         record = {"epoch": epoch, "time": time.perf_counter() - t0, **train_logs}

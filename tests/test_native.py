@@ -70,20 +70,27 @@ def test_native_rejects_garbage():
 
 
 def test_native_batch_throughput(lipo_rows):
-    """The native path must beat Python featurization by >=3x single-threaded
-    (typically ~17x; threshold very low so CI load cannot flake it)."""
+    """The native path must beat Python featurization by >=2x single-threaded
+    (typically ~17x; threshold very low and timings best-of-3 so transient
+    CI load cannot flake it)."""
     smis = [r[0] for r in lipo_rows][:1000]
 
     native.featurize_batch(smis[:10])  # warm (library build)
 
-    t0 = time.perf_counter()
-    for smi in smis[:200]:
-        PIPE(smi)
-    py_rate = 200 / (time.perf_counter() - t0)
+    py_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for smi in smis[:200]:
+            PIPE(smi)
+        py_best = min(py_best, time.perf_counter() - t0)
+    py_rate = 200 / py_best
 
-    t0 = time.perf_counter()
-    graphs, status = native.featurize_batch(smis, n_threads=1)
-    cc_rate = len(smis) / (time.perf_counter() - t0)
+    cc_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        graphs, status = native.featurize_batch(smis, n_threads=1)
+        cc_best = min(cc_best, time.perf_counter() - t0)
+    cc_rate = len(smis) / cc_best
 
     assert (status == 0).all()
     assert cc_rate > 2 * py_rate, f"native {cc_rate:.0f}/s vs python {py_rate:.0f}/s"

@@ -154,3 +154,67 @@ def test_training_determinism(tiny):
         jax.device_get(s1.params),
         jax.device_get(s2.params),
     )
+
+
+def test_multi_step_dispatch_matches_single(tiny):
+    """fit(steps_per_dispatch=K) — K steps scanned in one device dispatch —
+    is bit-identical to step-by-step training (same seeds, same order)."""
+    import optax
+
+    def run(steps_per_dispatch):
+        model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.adam(1e-3))
+        loader = DataLoader(tiny, batch_size=4, shuffle=True, seed=7)
+        state = model.init(jax.random.PRNGKey(3), next(iter(loader)))
+        res = fit(model, state, loader, epochs=2, steps_per_dispatch=steps_per_dispatch)
+        return res
+
+    r1 = run(1)
+    r2 = run(2)
+    assert int(r1.state.step) == int(r2.state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(r1.state.params),
+        jax.device_get(r2.state.params),
+    )
+    # epoch-mean train loss agrees (averaging order differs -> allclose)
+    for h1, h2 in zip(r1.history, r2.history):
+        np.testing.assert_allclose(h1["train/loss"], h2["train/loss"], rtol=1e-5)
+
+
+def test_multi_step_dispatch_trailing_group(tiny):
+    """A batch count not divisible by steps_per_dispatch still runs every
+    step exactly once (trailing group flushed step-by-step)."""
+    import optax
+
+    model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.adam(1e-3))
+    loader = DataLoader(tiny, batch_size=6, shuffle=False)  # 16 mols -> 3 batches
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    res = fit(model, state, loader, epochs=1, steps_per_dispatch=4)
+    assert int(res.state.step) == len(loader)
+
+
+def test_predict_denormalizes_without_manual_key_wiring(tiny):
+    """build_dmpnn(transforms=ds.build_task_transform_configs()) must apply
+    the inverse-normalize pred transform in predict WITHOUT the caller
+    filling in preds.key (the builder knows its own output key)."""
+    import optax
+
+    from notorch_tpu.training.loop import predict
+
+    transforms = tiny.build_task_transform_configs()
+    assert transforms["y"]["preds"]["key"] is None  # dataset can't know it
+    model = build_dmpnn(
+        hidden_dim=32, depth=2, optimizer=optax.adam(1e-3), transforms=transforms
+    )
+    loader = DataLoader(tiny, batch_size=16)
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    out_raw = model.apply(state.params, next(iter(loader)))
+    preds = predict(model, state.params, loader)["ffn.preds"]
+    # inverse-normalize is x*std + mean: an untrained net's outputs are
+    # near zero, so denormalized preds must sit near the target mean
+    vals = np.asarray(tiny._target_arrays["y"], dtype=np.float64)
+    mean = float(vals.mean())
+    std = float(vals.std(ddof=1))  # sample std (torch.std parity)
+    np.testing.assert_allclose(
+        preds, np.asarray(out_raw["ffn.preds"]) * std + mean, rtol=1e-5
+    )
