@@ -103,6 +103,15 @@ class SpmdTrainer:
         )
         self._train_step = jax.jit(sharded, donate_argnums=0)
 
+        def multi_step(state, batches):
+            # K sharded steps in one dispatch (leading axis = steps); logs
+            # step-averaged in-jit. Same latency amortization as
+            # Model.train_steps, under the mesh.
+            state, logs = jax.lax.scan(sharded, state, batches)
+            return state, jax.tree.map(lambda x: x.mean(axis=0), logs)
+
+        self._train_steps = jax.jit(multi_step, donate_argnums=0)
+
         def local_eval_step(params, batch):
             batch = _squeeze_leading(batch, 2)
             out = model.network.apply({"params": params}, dict(batch), training=False)
@@ -161,6 +170,12 @@ class SpmdTrainer:
 
     def train_step(self, state: TrainState, stacked_batch):
         return self._train_step(state, stacked_batch)
+
+    def train_steps(self, state: TrainState, stacked_batches):
+        """K train steps in one dispatch: ``stacked_batches`` adds a leading
+        steps axis to every leaf of the usual SPMD batch (stack K same-shape
+        batches). Returns (state, step-averaged logs)."""
+        return self._train_steps(state, stacked_batches)
 
     def eval_step(self, params, stacked_batch):
         return self._eval_step(params, stacked_batch)

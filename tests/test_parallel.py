@@ -274,3 +274,41 @@ def test_dense_spmd_trainer_fused_kernel_matches_single_device():
     np.testing.assert_allclose(
         float(logs_e["mse"]), float(logs_ref_e["val/mse"]), rtol=1e-5
     )
+
+
+@pytest.mark.multihost
+def test_spmd_multi_step_dispatch_matches_single_steps():
+    """SpmdTrainer.train_steps (lax.scan of the sharded step) advances the
+    state identically to calling train_step K times."""
+    n_data, per, K = 4, 2, 3
+    mesh = make_mesh({"data": n_data}, devices=jax.devices()[:n_data])
+
+    def batches():
+        return [
+            build_spmd_batch(
+                _groups(n_data, per), _targets(n_data, per, seed=k),
+                node_cap=64, edge_cap=64, graph_cap=per,
+            )
+            for k in range(K)
+        ]
+
+    def fresh():
+        model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+        trainer = SpmdTrainer(model, mesh, data_axis="data")
+        state = trainer.init(jax.random.PRNGKey(0), batches()[0])
+        return trainer, state
+
+    trainer, state = fresh()
+    for b in batches():
+        state, logs = trainer.train_step(state, b)
+    seq_params = jax.tree.map(np.asarray, state.params)
+
+    trainer2, state2 = fresh()
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches())
+    state2, logs2 = trainer2.train_steps(state2, stacked)
+    assert int(state2.step) == K
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        seq_params,
+        jax.device_get(state2.params),
+    )
