@@ -8,7 +8,7 @@ PARITY.md for the reference component map.
 
 __version__ = "0.1.0"
 
-from notorch_tpu.data.batching import DataLoader, Subset, random_split
+from notorch_tpu.data.batching import DataLoader, PrefetchLoader, Subset, random_split
 from notorch_tpu.data.dataset import (
     DatabaseManager,
     MolecularDataset,
@@ -37,6 +37,7 @@ __all__ = [
     "MolecularDataset",
     "MolToGraph",
     "Pipeline",
+    "PrefetchLoader",
     "SmiToMol",
     "Subset",
     "TargetSpec",

@@ -350,6 +350,10 @@ def run(cfg: dict) -> dict:
     val_loader = (
         DataLoader(val, batch_size=batch_size, layout=data_layout) if val is not None else None
     )
+    if trainer_cfg.get("prefetch"):
+        from notorch_tpu.data.batching import PrefetchLoader
+
+        train_loader = PrefetchLoader(train_loader, buffer_size=int(trainer_cfg["prefetch"]))
 
     checkpointer = None
     if trainer_cfg.get("checkpoint_dir"):

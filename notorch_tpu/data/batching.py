@@ -214,3 +214,56 @@ class Subset:
                 "targets": {"module": cfg["targets"], "key": f"{TARGET_KEY_PREFIX}.{name}"},
             }
         return out
+
+
+class PrefetchLoader:
+    """Overlap the host input pipeline with device compute.
+
+    Wraps any re-iterable batch loader; each epoch a background thread
+    fills a bounded queue, so featurization/padding/collation of batch
+    ``i+1..i+buffer_size`` runs while the device trains on batch ``i``
+    (the standard TPU input-pipeline overlap; the reference gets a weaker
+    form of this from DataLoader workers, SURVEY §3.2). Exceptions in the
+    producer surface in the consuming thread.
+    """
+
+    def __init__(self, loader, buffer_size: int = 4):
+        if buffer_size < 1:
+            raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
+        self.loader = loader
+        self.buffer_size = buffer_size
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __getattr__(self, name):
+        # delegate loader attributes (dataset, batch_size, ...) for drop-in use
+        return getattr(self.loader, name)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
+        sentinel = object()
+        errors: list[BaseException] = []
+
+        def produce():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                errors.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True, name="prefetch")
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                thread.join()
+                if errors:
+                    raise errors[0]
+                return
+            yield item

@@ -218,3 +218,36 @@ def test_predict_denormalizes_without_manual_key_wiring(tiny):
     np.testing.assert_allclose(
         preds, np.asarray(out_raw["ffn.preds"]) * std + mean, rtol=1e-5
     )
+
+
+def test_prefetch_loader_matches_direct_iteration(tiny):
+    """PrefetchLoader yields exactly the loader's batches, in order, every
+    epoch; training through it is bit-identical to the bare loader."""
+    from notorch_tpu.data.batching import PrefetchLoader
+
+    loader = DataLoader(tiny, batch_size=4, shuffle=True, seed=7)
+    pre = PrefetchLoader(DataLoader(tiny, batch_size=4, shuffle=True, seed=7), buffer_size=2)
+    assert len(pre) == len(loader)
+    for _ in range(2):  # re-iterable across epochs (shuffle advances per epoch)
+        direct = list(loader)
+        fetched = list(pre)
+        assert len(direct) == len(fetched)
+        for a, b in zip(direct, fetched):
+            jax.tree.map(
+                lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+                a, b,
+            )
+
+
+def test_prefetch_loader_propagates_producer_errors():
+    from notorch_tpu.data.batching import PrefetchLoader
+
+    class Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(2)}
+            raise RuntimeError("producer failed")
+
+    it = iter(PrefetchLoader(Boom(), buffer_size=1))
+    next(it)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
