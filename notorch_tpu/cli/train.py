@@ -362,6 +362,7 @@ def run(cfg: dict) -> dict:
         checkpointer = Checkpointer(
             trainer_cfg["checkpoint_dir"], max_to_keep=trainer_cfg.get("max_to_keep", 3)
         )
+        _save_predict_meta(trainer_cfg["checkpoint_dir"], cfg, transforms, ds, pred_key)
 
     # classification targets get epoch-level host AUROC/AUPRC automatically
     host_metrics = {}
@@ -420,6 +421,37 @@ def run(cfg: dict) -> dict:
                 f.write(",".join(f"{v:.6g}" for v in row) + "\n")
         out["predictions_csv"] = pred_csv
     return out
+
+
+def _save_predict_meta(checkpoint_dir, cfg: dict, transforms: dict, ds, pred_key: str) -> None:
+    """Persist everything ``notorch-tpu-predict`` needs to rebuild the model
+    next to the checkpoints: the model/optimizer config, the featurization
+    config, and the task transforms (which bake in TRAINING-split target
+    statistics and so cannot be recomputed from inference data)."""
+    from notorch_tpu.tasks import transforms as task_transforms
+
+    meta = {
+        "model": cfg.get("model", {}),
+        "optimizer": cfg.get("optimizer"),
+        "pred_key": pred_key,
+        "data": {
+            k: v
+            for k, v in cfg.get("data", {}).items()
+            if k in ("transforms", "smiles_col")
+        },
+        "transforms": {
+            name: {
+                "preds": task_transforms.serialize(t["preds"]["module"]),
+                "targets": task_transforms.serialize(t["targets"]["module"]),
+                "columns": list(ds.targets[name].columns),
+                "task": ds.targets[name].task,
+            }
+            for name, t in transforms.items()
+        },
+    }
+    path = Path(checkpoint_dir).absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "predict_meta.json").write_text(json.dumps(meta, indent=1))
 
 
 def _jsonable(v):

@@ -120,3 +120,33 @@ def build(task_type: TaskType | None, values: np.ndarray) -> dict[str, Callable 
         return {"preds": Dirichlet(), "targets": None}
 
     raise ValueError(f"invalid task type {task_type!r}; expected one of {TASK_TYPES}")
+
+
+_TRANSFORM_CLASSES = {
+    cls.__name__: cls
+    for cls in (Normalize, InverseNormalize, MVE, Evidential, Dirichlet, Sigmoid, Softmax)
+}
+
+
+def serialize(transform) -> dict | None:
+    """JSON-able record of a task transform (for predict-from-checkpoint)."""
+    import dataclasses
+
+    if transform is None:
+        return None
+    name = type(transform).__name__
+    if name not in _TRANSFORM_CLASSES:
+        raise TypeError(f"cannot serialize task transform {name!r}")
+    rec = {"kind": name}
+    for f in dataclasses.fields(transform):
+        rec[f.name] = list(getattr(transform, f.name))
+    return rec
+
+
+def deserialize(rec: dict | None):
+    """Inverse of :func:`serialize`."""
+    if rec is None:
+        return None
+    rec = dict(rec)
+    cls = _TRANSFORM_CLASSES[rec.pop("kind")]
+    return cls(**{k: tuple(v) for k, v in rec.items()})

@@ -170,3 +170,66 @@ def test_run_pretrain_spmd(tmp_path):
     out = run(cfg)
     losses = [h["train/loss"] for h in out["history"]]
     assert np.isfinite(losses[-1]) and losses[-1] < losses[0]
+
+
+def test_predict_from_checkpoint(tmp_path):
+    """Standalone serving path: train with a checkpoint_dir, then rebuild the
+    model + task transforms from predict_meta.json in a fresh entry point and
+    produce row-aligned denormalized predictions."""
+    import pandas as pd
+
+    from notorch_tpu.cli.predict import run_predict
+
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=1",
+            "trainer.batch_size=32",
+            "model.hidden_dim=16",
+            "model.depth=1",
+            f"trainer.checkpoint_dir={tmp_path}/ckpt",
+        ],
+    )
+    small = tmp_path / "lipo_small.csv"
+    df = pd.read_csv("tests/data/lipo.csv").head(100)
+    df.to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+    run(cfg)
+    assert (tmp_path / "ckpt" / "predict_meta.json").exists()
+
+    out_csv = tmp_path / "preds.csv"
+    res = run_predict(tmp_path / "ckpt", small, out=out_csv, batch_size=32)
+    # named by the training target column, aligned row-for-row with the input
+    assert list(res) == ["lipo"]
+    assert res["lipo"].shape == (100,)
+    assert np.all(np.isfinite(res["lipo"]))
+    # denormalized to data units: after 1 epoch the spread should be well off
+    # the normalized unit scale of raw heads near zero
+    assert abs(float(np.mean(res["lipo"]))) < 50
+
+    lines = out_csv.read_text().strip().split("\n")
+    assert lines[0] == "lipo" and len(lines) == 101
+
+    # restoring again is deterministic
+    res2 = run_predict(tmp_path / "ckpt", small, batch_size=32)
+    np.testing.assert_array_equal(res["lipo"], res2["lipo"])
+
+
+def test_task_transform_serialization_roundtrip():
+    from notorch_tpu.tasks import transforms as tt
+
+    x = np.linspace(-2, 2, 12, dtype=np.float32).reshape(6, 2)
+    for t in [
+        tt.Normalize((0.5, -1.0), (2.0, 3.0)),
+        tt.InverseNormalize((0.5, -1.0), (2.0, 3.0)),
+        tt.Sigmoid(),
+        tt.Softmax(),
+        tt.Dirichlet(),
+    ]:
+        t2 = tt.deserialize(tt.serialize(t))
+        np.testing.assert_allclose(np.asarray(t(x)), np.asarray(t2(x)), rtol=1e-6)
+    assert tt.deserialize(tt.serialize(None)) is None
+    mve = tt.deserialize(tt.serialize(tt.MVE((1.0,), (2.0,))))
+    y = np.ones((4, 1, 2), dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(mve(y))[..., 0], 3.0)
