@@ -58,6 +58,7 @@ def build_dmpnn(
     dtype=None,
     graph_axis: str | None = None,
     layout: str = "flat",
+    remat: bool = False,
 ) -> Model:
     """The canonical embed -> chemprop -> readout -> FFN property predictor
     (the model of reference ``tests/integration/test_regression.py``)."""
@@ -111,6 +112,7 @@ def build_dmpnn(
             dropout=dropout,
             dtype=dtype,
             psum_axis=graph_axis,
+            remat=remat,
         )
         readout_mod = AGGREGATIONS[aggregation]()
 

@@ -79,11 +79,17 @@ class ChempropBlock(nn.Module):
     dtype: Any = jnp.float32
     psum_axis: str | None = None
     impl: str = "gather"
+    # rematerialize each layer on the backward pass (jax.checkpoint): trades
+    # one extra forward of FLOPs for not keeping E-sized activations of every
+    # layer live in HBM — the lever for very large batched graphs
+    remat: bool = False
 
     @nn.compact
     def __call__(self, G: BatchedGraph, training: bool = False) -> BatchedGraph:
         edge_hiddens = G.node_feats[G.src] + G.edge_feats
 
+        # static_argnums counts self as 0: arg 3 is the ``training`` flag
+        layer_cls = nn.remat(ChempropLayer, static_argnums=(3,)) if self.remat else ChempropLayer
         kw = dict(
             act=self.act,
             bias=self.bias,
@@ -94,15 +100,15 @@ class ChempropBlock(nn.Module):
             impl=self.impl,
         )
         if self.shared:
-            layers = [ChempropLayer(self.hidden_dim, name="layer", **kw)] * self.depth
+            layers = [layer_cls(self.hidden_dim, name="layer", **kw)] * self.depth
         else:
             layers = [
-                ChempropLayer(self.hidden_dim, name=f"layer_{i}", **kw)
+                layer_cls(self.hidden_dim, name=f"layer_{i}", **kw)
                 for i in range(self.depth)
             ]
 
         for layer in layers:
-            out = layer(edge_hiddens, G, training=training)
+            out = layer(edge_hiddens, G, training)
             edge_hiddens = edge_hiddens + out if self.residual else out
 
         node_hiddens = _node_reduce(edge_hiddens, G, self.reduce, self.impl)

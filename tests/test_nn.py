@@ -151,3 +151,38 @@ def test_aggregations(rng):
     out_gated = gated.apply(gv, G)
     assert out_gated.shape == (3, d)
     assert np.isfinite(np.asarray(out_gated)).all()
+
+
+def test_chemprop_block_remat_matches_exact():
+    """remat=True (jax.checkpoint per layer) changes memory, not math: loss
+    and grads bit-match the non-remat block."""
+    import jax
+
+    from notorch_tpu.data.graph import pad_graphs
+    from notorch_tpu.nn.chemprop import ChempropBlock
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    bg = pad_graphs([pipe("CCO"), pipe("c1ccccc1C(=O)O")], 32, 64, graph_cap=2)
+    rng = np.random.default_rng(0)
+    d = 16
+    bg = bg.update(
+        node_feats=jnp.asarray(rng.normal(size=(bg.num_nodes, d)).astype(np.float32)),
+        edge_feats=jnp.asarray(rng.normal(size=(bg.num_edges, d)).astype(np.float32)),
+    )
+
+    base = ChempropBlock(hidden_dim=d, depth=3)
+    rem = ChempropBlock(hidden_dim=d, depth=3, remat=True)
+    params = base.init(jax.random.PRNGKey(0), bg)
+
+    def loss(module):
+        def f(p):
+            out = module.apply(p, bg)
+            return (out.node_feats**2).mean()
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base))(params)
+    l1, g1 = jax.value_and_grad(loss(rem))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
