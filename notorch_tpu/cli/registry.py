@@ -98,6 +98,7 @@ def _populate() -> None:
         attention.GATv2Layer,
         attention.GraphSelfAttention,
         moe.MixtureOfExperts,
+        moe.MoEMLP,
         moe.DenseRouter,
         moe.SparseRouter,
         glue.Add,

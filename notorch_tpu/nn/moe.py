@@ -142,6 +142,36 @@ class MixtureOfExperts(nn.Module):
         return out, aux
 
 
+def MoEMLP(
+    input_dim: int,
+    output_size: int,
+    hidden_dim: int = 256,
+    num_layers: int = 1,
+    dropout: float = 0.0,
+    num_experts: int = 4,
+    router_kind: str = "dense",
+    k: int = 2,
+) -> MixtureOfExperts:
+    """Config-friendly mixture-of-expert-MLPs factory (YAML configs cannot
+    express ``expert_fn`` closures; this names the common case). Returns
+    ``(output, aux_loss)`` — wire ``out_keys: [preds, aux]`` and feed the aux
+    key to a ``SelfSupervisedLoss`` term."""
+    from notorch_tpu.nn.mlp import MLP
+
+    return MixtureOfExperts(
+        expert_fn=lambda: MLP(
+            input_dim=input_dim,
+            output_size=output_size,
+            hidden_dim=hidden_dim,
+            num_layers=num_layers,
+            dropout=dropout,
+        ),
+        num_experts=num_experts,
+        router_kind=router_kind,
+        k=k,
+    )
+
+
 def _fields(module: nn.Module):
     import dataclasses
 

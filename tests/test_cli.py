@@ -233,3 +233,30 @@ def test_task_transform_serialization_roundtrip():
     mve = tt.deserialize(tt.serialize(tt.MVE((1.0,), (2.0,))))
     y = np.ones((4, 1, 2), dtype=np.float32)
     np.testing.assert_allclose(np.asarray(mve(y))[..., 0], 3.0)
+
+
+def test_run_moe_config(tmp_path):
+    """MoE head trains end-to-end from the declarative config: tuple outputs
+    (preds, aux) wired through out_keys, router aux loss as a weighted
+    SelfSupervisedLoss term."""
+    import pandas as pd
+
+    cfg = load_config("configs/moe_regression.yaml")
+    apply_overrides(
+        cfg,
+        ["trainer.epochs=2", "trainer.batch_size=32",
+         "model.modules.embed.args.hidden_dim=32",
+         "model.modules.mp.args.hidden_dim=32",
+         "model.modules.mp.args.depth=1",
+         "model.modules.ffn.args.input_dim=32",
+         "model.modules.ffn.args.hidden_dim=32",
+         "model.modules.ffn.args.num_experts=3"],
+    )
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(100).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+    out = run(cfg)
+    rec = out["history"][-1]
+    assert np.isfinite(rec["train/loss"])
+    assert np.isfinite(rec["train/aux"])  # router balance loss is live
+    assert np.isfinite(out["test"]["val/rmse"])
