@@ -295,8 +295,8 @@ def run_pretrain(cfg: dict) -> dict:
             if state is None:
                 state = trainer.init(jax.random.PRNGKey(seed), batch)
             state, logs = trainer.train_step(state, batch)
-            losses.append(float(logs["train/loss"]))
-        rec = {"epoch": epoch, "train/loss": float(np.mean(losses))}
+            losses.append(logs["train/loss"])  # device scalar; float() syncs
+        rec = {"epoch": epoch, "train/loss": float(np.mean([float(l) for l in losses]))}
         history.append(rec)
         print(json.dumps({k: _jsonable(v) for k, v in rec.items()}))
     return {"history": history}
@@ -350,10 +350,13 @@ def run(cfg: dict) -> dict:
     val_loader = (
         DataLoader(val, batch_size=batch_size, layout=data_layout) if val is not None else None
     )
-    if trainer_cfg.get("prefetch"):
+    # input-pipeline overlap on by default (featurization + async device
+    # transfer ahead of compute); trainer.prefetch: 0 disables
+    prefetch = trainer_cfg.get("prefetch", 4)
+    if prefetch:
         from notorch_tpu.data.batching import PrefetchLoader
 
-        train_loader = PrefetchLoader(train_loader, buffer_size=int(trainer_cfg["prefetch"]))
+        train_loader = PrefetchLoader(train_loader, buffer_size=int(prefetch))
 
     checkpointer = None
     if trainer_cfg.get("checkpoint_dir"):

@@ -225,13 +225,20 @@ class PrefetchLoader:
     (the standard TPU input-pipeline overlap; the reference gets a weaker
     form of this from DataLoader workers, SURVEY §3.2). Exceptions in the
     producer surface in the consuming thread.
+
+    With ``to_device=True`` (default) the producer thread also issues an
+    async ``jax.device_put`` per batch, so host->device transfers start
+    ``buffer_size`` batches ahead and overlap device compute — on tunneled
+    TPUs the transfer, not featurization, is the pipeline cost. The queue
+    bounds how many batches are resident on device at once.
     """
 
-    def __init__(self, loader, buffer_size: int = 4):
+    def __init__(self, loader, buffer_size: int = 4, to_device: bool = True):
         if buffer_size < 1:
             raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
         self.loader = loader
         self.buffer_size = buffer_size
+        self.to_device = to_device
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -251,6 +258,10 @@ class PrefetchLoader:
         def produce():
             try:
                 for item in self.loader:
+                    if self.to_device:
+                        import jax
+
+                        item = jax.device_put(item)  # async: starts the transfer
                     q.put(item)
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 errors.append(e)

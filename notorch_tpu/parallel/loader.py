@@ -103,14 +103,15 @@ def spmd_fit(trainer, state, loader, epochs: int = 1, log_fn=None):
     """Minimal epoch loop over a :class:`ShardedDataLoader`."""
     history = []
     for epoch in range(epochs):
-        sums: dict[str, float] = {}
+        sums: dict = {}
         n = 0
         for batch in loader:
             state, logs = trainer.train_step(state, batch)
             n += 1
             for k, v in logs.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        record = {"epoch": epoch, **{k: v / max(n, 1) for k, v in sums.items()}}
+                # device-side accumulation: float() here would sync per step
+                sums[k] = sums.get(k, 0.0) + v
+        record = {"epoch": epoch, **{k: float(v) / max(n, 1) for k, v in sums.items()}}
         history.append(record)
         if log_fn:
             log_fn(record)

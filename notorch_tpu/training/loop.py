@@ -37,9 +37,18 @@ def _shape_signature(batch) -> tuple:
 
 def _stack_batches(batches: list):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    def stack(*xs):
+        # device arrays (e.g. PrefetchLoader(to_device=True)) stack on
+        # device — their transfers already happened asynchronously; host
+        # arrays stack on host and ship once
+        if isinstance(xs[0], jax.Array):
+            return jnp.stack(xs)
+        return np.stack(xs)
+
+    return jax.tree.map(stack, *batches)
 
 
 def fit(
