@@ -351,12 +351,22 @@ def run(cfg: dict) -> dict:
         DataLoader(val, batch_size=batch_size, layout=data_layout) if val is not None else None
     )
     # input-pipeline overlap on by default (featurization + async device
-    # transfer ahead of compute); trainer.prefetch: 0 disables
+    # transfer ahead of compute); trainer.prefetch: 0 disables. With
+    # steps_per_dispatch > 1 the producer thread also stacks K batches and
+    # ships one [K, ...] transfer per dispatch group.
     prefetch = trainer_cfg.get("prefetch", 4)
+    steps_per_dispatch = trainer_cfg.get("steps_per_dispatch", 1)
     if prefetch:
         from notorch_tpu.data.batching import PrefetchLoader
 
-        train_loader = PrefetchLoader(train_loader, buffer_size=int(prefetch))
+        train_loader = PrefetchLoader(
+            train_loader,
+            buffer_size=int(prefetch),
+            stack=steps_per_dispatch if steps_per_dispatch > 1 else 0,
+        )
+        steps_per_dispatch = 1  # the loader already groups; fit consumes as-is
+        if val_loader is not None:
+            val_loader = PrefetchLoader(val_loader, buffer_size=int(prefetch))
 
     checkpointer = None
     if trainer_cfg.get("checkpoint_dir"):
@@ -391,7 +401,7 @@ def run(cfg: dict) -> dict:
         log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
         host_metrics=host_metrics or None,
         checkpointer=checkpointer,
-        steps_per_dispatch=trainer_cfg.get("steps_per_dispatch", 1),
+        steps_per_dispatch=steps_per_dispatch,
     )
 
     out = {"history": result.history}

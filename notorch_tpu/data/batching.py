@@ -216,6 +216,47 @@ class Subset:
         return out
 
 
+def shape_signature(batch) -> tuple:
+    """Hashable (treedef, leaf shapes/dtypes) — equal signatures mean the
+    batches can be stacked and run through one compiled program."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(batch)
+    return treedef, tuple(
+        (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x).__name__)))
+        for x in leaves
+    )
+
+
+class StackedBatch:
+    """K same-shape batches stacked along a new leading axis (for
+    ``Model.train_steps``); produced by ``PrefetchLoader(stack=K)``."""
+
+    __slots__ = ("tree", "n")
+
+    def __init__(self, tree, n: int):
+        self.tree = tree
+        self.n = n
+
+
+def stack_trees(batches: list):
+    """Stack a list of same-shape batch pytrees along a new leading axis.
+    Device-array leaves stack ON DEVICE (``jnp.stack``) — ``np.stack`` on a
+    device array silently round-trips it to host, which on a tunneled TPU
+    costs ~34 ms latency per leaf per batch; host leaves stack on host and
+    ship once."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def stack(*xs):
+        if isinstance(xs[0], jax.Array):
+            return jnp.stack(xs)
+        return np.stack(xs)
+
+    return jax.tree.map(stack, *batches)
+
+
 class PrefetchLoader:
     """Overlap the host input pipeline with device compute.
 
@@ -231,14 +272,24 @@ class PrefetchLoader:
     ``buffer_size`` batches ahead and overlap device compute — on tunneled
     TPUs the transfer, not featurization, is the pipeline cost. The queue
     bounds how many batches are resident on device at once.
+
+    With ``stack=K`` the producer additionally groups K consecutive
+    same-shape batches, stacks them on host, and ships ONE [K, ...] array
+    per group — fewer, larger transfers (the tunnel is latency-dominated:
+    ~34 ms round trip for 100 KB vs ~40 MB/s streaming). The consumer
+    receives :class:`StackedBatch` items to feed ``Model.train_steps``;
+    odd-shaped / trailing batches come through individually.
     """
 
-    def __init__(self, loader, buffer_size: int = 4, to_device: bool = True):
+    def __init__(
+        self, loader, buffer_size: int = 4, to_device: bool = True, stack: int = 0
+    ):
         if buffer_size < 1:
             raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
         self.loader = loader
         self.buffer_size = buffer_size
         self.to_device = to_device
+        self.stack = int(stack)
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -255,14 +306,40 @@ class PrefetchLoader:
         sentinel = object()
         errors: list[BaseException] = []
 
+        def put(item):
+            if self.to_device:
+                import jax
+
+                item = jax.device_put(item)  # async: starts the transfer
+            return item
+
         def produce():
+            import jax
+            import numpy as np
+
+            pending: list = []
+            pend_sig = None
+
+            def flush_singles():
+                for b in pending:
+                    q.put(put(b))
+                pending.clear()
+
             try:
                 for item in self.loader:
-                    if self.to_device:
-                        import jax
-
-                        item = jax.device_put(item)  # async: starts the transfer
-                    q.put(item)
+                    if self.stack <= 1:
+                        q.put(put(item))
+                        continue
+                    sig = shape_signature(item)
+                    if pending and sig != pend_sig:
+                        flush_singles()
+                    pending.append(item)
+                    pend_sig = sig
+                    if len(pending) == self.stack:
+                        tree = stack_trees(pending)
+                        q.put(StackedBatch(put(tree), self.stack))
+                        pending.clear()
+                flush_singles()
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 errors.append(e)
             finally:

@@ -104,6 +104,10 @@ class Model:
 
     # -- initialization -----------------------------------------------------
     def init(self, rng: jax.Array, example_batch: Mapping[str, Any]) -> TrainState:
+        from notorch_tpu.data.batching import StackedBatch
+
+        if isinstance(example_batch, StackedBatch):  # PrefetchLoader(stack=K) item
+            example_batch = jax.tree.map(lambda x: x[0], example_batch.tree)
         params_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
         variables = dict(
             self.network.init(

@@ -14,6 +14,7 @@ from typing import Callable, Mapping
 
 import numpy as np
 
+from notorch_tpu.data.batching import StackedBatch
 from notorch_tpu.model.model import Model, TrainState
 
 
@@ -36,19 +37,9 @@ def _shape_signature(batch) -> tuple:
 
 
 def _stack_batches(batches: list):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    from notorch_tpu.data.batching import stack_trees
 
-    def stack(*xs):
-        # device arrays (e.g. PrefetchLoader(to_device=True)) stack on
-        # device — their transfers already happened asynchronously; host
-        # arrays stack on host and ship once
-        if isinstance(xs[0], jax.Array):
-            return jnp.stack(xs)
-        return np.stack(xs)
-
-    return jax.tree.map(stack, *batches)
+    return stack_trees(batches)
 
 
 def fit(
@@ -116,6 +107,16 @@ def fit(
                 train_logs[k] = train_logs.get(k, 0.0) + v * weight
 
         for batch in train_loader:
+            if isinstance(batch, StackedBatch):
+                # pre-stacked, pre-transferred group from PrefetchLoader(stack=K)
+                if pending:
+                    n = len(pending)
+                    state, logs = run_group(state, pending)
+                    pending = []
+                    handle_logs(logs, n)
+                state, logs = model.train_steps(state, batch.tree)
+                handle_logs(logs, batch.n)
+                continue
             if steps_per_dispatch <= 1:
                 state, logs = model.train_step(state, batch)
                 handle_logs(logs, 1)

@@ -251,3 +251,35 @@ def test_prefetch_loader_propagates_producer_errors():
     next(it)
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_prefetch_stacked_groups_train_identically(tiny):
+    """PrefetchLoader(stack=K) pre-stacks same-shape batches in the producer
+    thread; fit() consumes StackedBatch items via train_steps. The resulting
+    trajectory matches plain single-step training bit-for-bit."""
+    import optax
+
+    from notorch_tpu.data.batching import PrefetchLoader
+
+    def run(loader_wrap):
+        model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.adam(1e-3))
+        loader = loader_wrap(DataLoader(tiny, batch_size=4, shuffle=True, seed=7))
+        state = model.init(jax.random.PRNGKey(3), next(iter(loader)))
+        return fit(model, state, loader, epochs=2)
+
+    r_plain = run(lambda l: l)
+    stacked_loader = PrefetchLoader(
+        DataLoader(tiny, batch_size=4, shuffle=True, seed=7), buffer_size=4, stack=2
+    )
+    kinds = [type(b).__name__ for b in stacked_loader]
+    assert "StackedBatch" in kinds  # the loader actually yields stacked groups
+    r_stack = run(lambda l: PrefetchLoader(l, buffer_size=4, stack=2))
+
+    assert int(r_plain.state.step) == int(r_stack.state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(r_plain.state.params),
+        jax.device_get(r_stack.state.params),
+    )
+    for h1, h2 in zip(r_plain.history, r_stack.history):
+        np.testing.assert_allclose(h1["train/loss"], h2["train/loss"], rtol=1e-5)
