@@ -8,7 +8,14 @@ PARITY.md for the reference component map.
 
 __version__ = "0.1.0"
 
-from notorch_tpu.data.batching import DataLoader, PrefetchLoader, Subset, random_split
+from notorch_tpu.data.batching import (
+    DataLoader,
+    PrefetchLoader,
+    StackedBatch,
+    Subset,
+    random_split,
+    stack_trees,
+)
 from notorch_tpu.data.dataset import (
     DatabaseManager,
     MolecularDataset,
@@ -39,7 +46,9 @@ __all__ = [
     "Pipeline",
     "PrefetchLoader",
     "SmiToMol",
+    "StackedBatch",
     "Subset",
+    "stack_trees",
     "TargetSpec",
     "TrainState",
     "TransformManager",

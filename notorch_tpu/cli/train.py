@@ -220,6 +220,11 @@ def run_pretrain(cfg: dict) -> dict:
     if not spmd:
         model = build_masked_atom_pretrainer(optimizer=optimizer, **model_cfg)
         loader = _PretrainLoader(graphs, mask_rate, batch_size, seed=seed)
+        prefetch = trainer_cfg.get("prefetch", 4)
+        if prefetch:
+            from notorch_tpu.data.batching import PrefetchLoader
+
+            loader = PrefetchLoader(loader, buffer_size=int(prefetch))
         checkpointer = None
         if trainer_cfg.get("checkpoint_dir"):
             from notorch_tpu.training.checkpoint import Checkpointer

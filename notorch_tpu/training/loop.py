@@ -170,6 +170,11 @@ def evaluate(
         needed_keys.update(ks.values() if isinstance(ks, Mapping) else ks)
 
     for batch in loader:
+        if isinstance(batch, StackedBatch):
+            raise TypeError(
+                "evaluate() expects single batches; build the eval loader "
+                "without PrefetchLoader(stack=K)"
+            )
         logs, out = model.eval_step(params, batch, extra_vars)
         n += 1
         for k, v in logs.items():
