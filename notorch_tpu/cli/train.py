@@ -348,12 +348,15 @@ def run(cfg: dict) -> dict:
     batch_size = trainer_cfg.get("batch_size", 64)
     model_layout = cfg.get("model", {}).get("layout", "flat")
     data_layout = "dense" if str(model_layout).startswith("dense") else "flat"
+    csr_pack = cfg.get("model", {}).get("impl") == "csr" and data_layout == "flat"
     train_loader = DataLoader(
         train, batch_size=batch_size, shuffle=True, seed=seed, layout=data_layout,
-        sort_by_size=data_layout == "dense",
+        sort_by_size=data_layout == "dense", csr_pack=csr_pack,
     )
     val_loader = (
-        DataLoader(val, batch_size=batch_size, layout=data_layout) if val is not None else None
+        DataLoader(val, batch_size=batch_size, layout=data_layout, csr_pack=csr_pack)
+        if val is not None
+        else None
     )
     # input-pipeline overlap on by default (featurization + async device
     # transfer ahead of compute); trainer.prefetch: 0 disables. With

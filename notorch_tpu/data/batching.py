@@ -57,6 +57,7 @@ class DataLoader:
         cache: bool = True,
         layout: str = "flat",
         sort_by_size: bool = False,
+        csr_pack: bool = False,
     ):
         from notorch_tpu.data.samplers import SeededSampler
 
@@ -70,6 +71,7 @@ class DataLoader:
             self.sampler = SequentialSampler(len(dataset))
         self.drop_last = drop_last
         self.layout = layout
+        self.csr_pack = csr_pack
         if layout == "dense":
             # per-molecule block ladders (small quanta)
             self.node_ladder = bucket_ladder(16, 1 << 16)
@@ -154,9 +156,17 @@ class DataLoader:
                     round_up_ladder(total_v, self.node_ladder),
                     round_up_ladder(total_e, self.edge_ladder),
                 )
-        return self.dataset.collate(
+        batch = self.dataset.collate(
             samples, indices, graph_caps=caps, batch_cap=self.batch_size, layout=self.layout
         )
+        if self.csr_pack:
+            from notorch_tpu.data.graph import BatchedGraph, with_csr_packing
+
+            batch = {
+                k: with_csr_packing(v) if isinstance(v, BatchedGraph) else v
+                for k, v in batch.items()
+            }
+        return batch
 
 
 def random_split(

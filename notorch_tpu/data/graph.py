@@ -132,6 +132,10 @@ class BatchedGraph(struct.PyTreeNode):
     edge_mask: jnp.ndarray  # [E_cap] bool
     num_graphs_real: jnp.ndarray  # [] i32
     in_edges: jnp.ndarray | None = None  # [V_cap, K] incoming edge ids, pad=E_cap
+    # tile-packed CSR metadata (with_csr_packing): slot -> edge id / dst,
+    # fixed edge budget per 128-node tile, -1 in padding slots
+    csr_perm: jnp.ndarray | None = None  # [n_tiles * budget] i32
+    csr_dst: jnp.ndarray | None = None  # [n_tiles * budget] i32
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
     @property
@@ -202,6 +206,35 @@ def sort_edges_by_dst(bg: BatchedGraph) -> tuple[BatchedGraph, np.ndarray]:
         ),
     )
     return sorted_bg, perm
+
+
+def with_csr_packing(
+    bg: BatchedGraph, tile_v: int = 128, budget: int | None = None
+) -> BatchedGraph:
+    """Attach tile-packed CSR metadata (host-side, once per batch topology)
+    for the Pallas ``csr_segment_sum_packed`` reduce (``impl="csr"``).
+
+    Each ``tile_v``-node tile gets a fixed budget of edge slots; only REAL
+    (unmasked) edges are packed — padding edges feed the sink node, whose row
+    is masked downstream anyway, so skipping them keeps the budget tight.
+    ``num_nodes`` must be a multiple of ``tile_v`` (128-aligned node caps).
+    """
+    from notorch_tpu.kernels.csr_segment import pack_edges_by_tile
+
+    if bg.num_nodes % tile_v != 0:
+        raise ValueError(
+            f"node cap {bg.num_nodes} must be a multiple of tile_v={tile_v} "
+            "for CSR packing (use 128-aligned node caps)"
+        )
+    dst = np.asarray(bg.dst)
+    mask = np.asarray(bg.edge_mask)
+    real_ids = np.nonzero(mask)[0].astype(np.int32)
+    perm_r, packed_dst, _ = pack_edges_by_tile(
+        dst[real_ids], num_nodes=bg.num_nodes, tile_v=tile_v, budget=budget
+    )
+    # re-express slot -> edge-id through the real-edge subset
+    perm = np.where(perm_r >= 0, real_ids[np.clip(perm_r, 0, None)], -1).astype(np.int32)
+    return bg.replace(csr_perm=perm, csr_dst=packed_dst)
 
 
 def csr_row_ptr(sorted_dst: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -59,6 +59,7 @@ def build_dmpnn(
     graph_axis: str | None = None,
     layout: str = "flat",
     remat: bool = False,
+    impl: str = "gather",
 ) -> Model:
     """The canonical embed -> chemprop -> readout -> FFN property predictor
     (the model of reference ``tests/integration/test_regression.py``)."""
@@ -113,6 +114,7 @@ def build_dmpnn(
             dtype=dtype,
             psum_axis=graph_axis,
             remat=remat,
+            impl=impl,
         )
         readout_mod = AGGREGATIONS[aggregation]()
 

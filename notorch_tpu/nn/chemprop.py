@@ -48,7 +48,10 @@ class ChempropLayer(nn.Module):
     reduce: str = "sum"
     dtype: Any = jnp.float32
     psum_axis: str | None = None
-    impl: str = "gather"  # "gather" (dense in_edges take-sum) | "segment"
+    # "gather" (dense in_edges take-sum) | "segment" (XLA segment ops) |
+    # "csr" (tile-packed Pallas SpMM; needs with_csr_packing / DataLoader
+    # csr_pack=True, falls back to segment without the metadata)
+    impl: str = "gather"
 
     @nn.compact
     def __call__(
@@ -117,8 +120,16 @@ class ChempropBlock(nn.Module):
 
 
 def _node_reduce(messages, G: BatchedGraph, reduce: str, impl: str):
-    """E -> V reduction: dense fixed-degree gather (scatter-free, the TPU
-    fast path) or XLA segment ops."""
+    """E -> V reduction: tile-packed Pallas SpMM (``csr``), dense
+    fixed-degree gather (scatter-free), or XLA segment ops."""
+    if impl == "csr" and reduce == "sum" and G.csr_perm is not None:
+        from notorch_tpu.kernels.csr_segment import csr_segment_sum_packed
+
+        interpret = jax.default_backend() != "tpu"
+        return csr_segment_sum_packed(
+            messages, G.csr_perm, G.csr_dst, num_nodes=G.num_nodes,
+            dst=G.dst, edge_mask=G.edge_mask, interpret=interpret,
+        )
     if impl == "gather" and G.in_edges is not None and reduce in ("sum", "mean", "max"):
         ext = jnp.concatenate([messages, jnp.zeros_like(messages[:1])], axis=0)
         gathered = ext[G.in_edges]  # [V, K, d]
