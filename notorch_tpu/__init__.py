@@ -23,7 +23,7 @@ from notorch_tpu.data.dataset import (
     TransformManager,
 )
 from notorch_tpu.data.dense import DenseBatchedGraph, pad_graphs_dense
-from notorch_tpu.data.graph import BatchedGraph, Graph, pad_graphs
+from notorch_tpu.data.graph import BatchedGraph, Graph, pad_graphs, with_csr_packing
 from notorch_tpu.data.splits import scaffold_split
 from notorch_tpu.model.model import Model, TrainState, fill_pred_transform_keys
 from notorch_tpu.models.dmpnn import build_dmpnn
@@ -63,4 +63,5 @@ __all__ = [
     "predict",
     "random_split",
     "scaffold_split",
+    "with_csr_packing",
 ]

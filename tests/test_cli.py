@@ -260,3 +260,49 @@ def test_run_moe_config(tmp_path):
     assert np.isfinite(rec["train/loss"])
     assert np.isfinite(rec["train/aux"])  # router balance loss is live
     assert np.isfinite(out["test"]["val/rmse"])
+
+
+def test_predict_from_checkpoint_dense_layout(tmp_path):
+    """Serving path round-trips the dense (MXU per-molecule) layout too."""
+    import pandas as pd
+
+    from notorch_tpu.cli.predict import run_predict
+
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        ["trainer.epochs=1", "trainer.batch_size=16", "model.hidden_dim=16",
+         "model.depth=1", "model.layout=dense",
+         f"trainer.checkpoint_dir={tmp_path}/ckpt"],
+    )
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(48).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+    run(cfg)
+    res = run_predict(tmp_path / "ckpt", small, batch_size=16)
+    assert res["lipo"].shape == (48,) and np.all(np.isfinite(res["lipo"]))
+
+
+def test_predict_from_checkpoint_mve_head(tmp_path):
+    """MVE task: predict meta serializes the MVE denormalizer; output falls
+    back to positional names for the 2-channel (mean, var) head."""
+    import pandas as pd
+
+    from notorch_tpu.cli.predict import run_predict
+
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        ["trainer.epochs=1", "trainer.batch_size=16", "model.hidden_dim=16",
+         "model.depth=1", "model.task=mve",
+         f"trainer.checkpoint_dir={tmp_path}/ckpt"],
+    )
+    cfg["data"]["targets"]["y"]["task"] = "mve"
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(48).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+    run(cfg)
+    res = run_predict(tmp_path / "ckpt", small, batch_size=16)
+    assert set(res) == {"pred_0", "pred_1"}  # mean, var channels
+    assert np.all(np.isfinite(res["pred_0"]))
+    assert np.all(res["pred_1"] >= 0)  # variances denormalized by scale^2
