@@ -181,8 +181,12 @@ def evaluate(
             # device-side accumulation: float() here would sync every batch
             sums[k] = sums.get(k, 0.0) + v
         for key in needed_keys:
-            accum.setdefault(key, []).append(np.asarray(out[key]))
+            # hold device arrays; fetching here would sync every batch
+            accum.setdefault(key, []).append(out[key])
 
+    import jax
+
+    accum = {k: [np.asarray(x) for x in jax.device_get(v)] for k, v in accum.items()}
     results = {k: float(v) / max(n, 1) for k, v in sums.items()}
     for name, cfg in (host_metrics or {}).items():
         ks = cfg["in_keys"]
@@ -200,12 +204,15 @@ def predict(
 ) -> dict[str, np.ndarray]:
     """Inference pass applying the ``preds`` transforms
     (reference ``predict_step``, model.py:267-271)."""
-    accum: dict[str, list[np.ndarray]] = {}
+    import jax
+
+    accum: dict[str, list] = {}
     for batch in loader:
         out = model.predict_step(params, batch, extra_vars)
         for k, v in out.items():
             if keys is not None and k not in keys:
                 continue
             if hasattr(v, "shape"):
-                accum.setdefault(k, []).append(np.asarray(v))
-    return {k: np.concatenate(v) for k, v in accum.items()}
+                accum.setdefault(k, []).append(v)  # fetch deferred (no per-batch sync)
+    accum = jax.device_get(accum)
+    return {k: np.concatenate([np.asarray(x) for x in v]) for k, v in accum.items()}
