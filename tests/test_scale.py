@@ -120,3 +120,33 @@ def test_size_sorted_batching_cuts_padding(rng):
     loader = DataLoader(ds, batch_size=32, layout="dense", sort_by_size=True, shuffle=True)
     n = sum(int(np.asarray(b["inputs.G"].graph_mask).sum()) for b in loader)
     assert n == len(smis)
+
+
+def test_stack_trees_device_and_host_leaves():
+    """stack_trees: device leaves stack on device (no host round-trip),
+    host leaves stack on host; mixed trees keep per-leaf behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    from notorch_tpu.data.batching import stack_trees
+
+    host = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": np.ones(4, np.int32)}
+    dev = {k: jnp.asarray(v) for k, v in host.items()}
+
+    s_host = stack_trees([host, host])
+    assert isinstance(s_host["a"], np.ndarray) and s_host["a"].shape == (2, 2, 3)
+    s_dev = stack_trees([dev, dev])
+    assert isinstance(s_dev["a"], jax.Array) and s_dev["a"].shape == (2, 2, 3)
+    np.testing.assert_array_equal(np.asarray(s_dev["b"]), s_host["b"])
+
+
+def test_shape_signature_distinguishes_shape_and_dtype():
+    from notorch_tpu.data.batching import shape_signature
+
+    a = {"x": np.zeros((2, 3), np.float32)}
+    b = {"x": np.zeros((2, 3), np.float32)}
+    c = {"x": np.zeros((2, 4), np.float32)}
+    d = {"x": np.zeros((2, 3), np.int32)}
+    assert shape_signature(a) == shape_signature(b)
+    assert shape_signature(a) != shape_signature(c)
+    assert shape_signature(a) != shape_signature(d)
