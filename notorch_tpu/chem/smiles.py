@@ -60,6 +60,11 @@ def _parse_bracket_atom(body: str) -> Atom:
     symbol = sym if not aromatic else sym.capitalize()
     if sym == "*":
         symbol = "*"
+    if symbol != "*":
+        from notorch_tpu.chem.mol import ATOMIC_NUMBERS
+
+        if symbol not in ATOMIC_NUMBERS:
+            raise SmilesParseError(f"unknown element {symbol!r} in [{body}]")
 
     chiral = ChiralTag.UNSPECIFIED
     if m.group("chiral"):

@@ -40,14 +40,73 @@ def apply_overrides(cfg: dict, overrides: list[str]) -> dict:
     return cfg
 
 
-def build_dataset(cfg: dict):
+def _read_table(cfg: dict):
+    """Load the data table: a preloaded DataFrame (inline ``${csv:...}`` /
+    ``${parquet:...}`` resolver output), a ``parquet`` key, or a ``csv`` key
+    (dispatching on extension, so ``csv: foo.parquet`` also works).
+
+    Capability parity: reference OmegaConf resolvers
+    (``notorch/cli/utils/resolvers.py:5-8``).
+    """
     import pandas as pd
 
+    src = cfg.get("parquet") or cfg.get("csv")
+    if src is None:
+        raise KeyError("data config needs a 'csv' or 'parquet' entry")
+    if isinstance(src, pd.DataFrame):
+        return src
+    path = str(src)
+    if "parquet" in cfg or path.endswith((".parquet", ".pq")):
+        return pd.read_parquet(path)
+    return pd.read_csv(path)
+
+
+def resolve_config(cfg):
+    """Resolve inline ``${csv:path}``, ``${parquet:path}``, and
+    ``${len:dotted.path}`` string values anywhere in the config tree —
+    the reference's OmegaConf resolvers (resolvers.py:5-8) without OmegaConf.
+
+    ``${len:...}`` resolves after the table resolvers, so
+    ``${len:data.csv}`` yields the row count of an inline-loaded table.
+    """
+    import pandas as pd
+
+    def walk(node, fn):
+        if isinstance(node, dict):
+            return {k: walk(v, fn) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, fn) for v in node]
+        return fn(node)
+
+    def load_tables(v):
+        if isinstance(v, str):
+            if v.startswith("${csv:") and v.endswith("}"):
+                return pd.read_csv(v[len("${csv:") : -1])
+            if v.startswith("${parquet:") and v.endswith("}"):
+                return pd.read_parquet(v[len("${parquet:") : -1])
+        return v
+
+    cfg = walk(cfg, load_tables)
+
+    def deref(path: str):
+        node = cfg
+        for part in path.split("."):
+            node = node[part]
+        return node
+
+    def resolve_len(v):
+        if isinstance(v, str) and v.startswith("${len:") and v.endswith("}"):
+            return len(deref(v[len("${len:") : -1]))
+        return v
+
+    return walk(cfg, resolve_len)
+
+
+def build_dataset(cfg: dict):
     from notorch_tpu.cli.registry import build
     from notorch_tpu.data.dataset import MolecularDataset, TargetSpec, TransformManager
 
-    path = cfg["csv"]
-    df = pd.read_csv(path)
+    df = _read_table(cfg)
 
     transforms = {}
     for name, tcfg in (cfg.get("transforms") or _default_transforms(cfg)).items():
@@ -206,7 +265,7 @@ def run_pretrain(cfg: dict) -> dict:
     seed = trainer_cfg.get("seed", 0)
     mask_rate = model_cfg.pop("mask_rate", 0.15)
 
-    df = pd.read_csv(data_cfg["csv"])
+    df = _read_table(data_cfg)
     limit = data_cfg.get("limit")
     smis = df[data_cfg.get("smiles_col", "smiles")].tolist()[: limit or None]
     pipe = _smiles_pipeline()
@@ -494,7 +553,7 @@ def main(argv=None) -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    cfg = apply_overrides(load_config(args.config), args.overrides)
+    cfg = resolve_config(apply_overrides(load_config(args.config), args.overrides))
     run(cfg)
 
 

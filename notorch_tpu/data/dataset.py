@@ -107,6 +107,30 @@ class MolecularDataset:
             name: self._extract_targets(spec) for name, spec in self.targets.items()
         }
 
+    def __repr__(self) -> str:
+        """Readable summary (reference ``NotorchDataset.__repr__``,
+        dataset.py:81-130)."""
+        lines = [f"{type(self).__name__}(n={len(self.records)}"]
+        if self.transforms:
+            lines.append("  transforms:")
+            for name, tm in self.transforms.items():
+                lines.append(
+                    f"    ({name}): {type(tm.transform).__name__} "
+                    f"[{tm.in_key!r} -> {tm.out_key!r}]"
+                )
+        if self.databases:
+            lines.append("  databases:")
+            for name, dm in self.databases.items():
+                lines.append(f"    ({name}): {type(dm).__name__}")
+        if self.targets:
+            lines.append("  targets:")
+            for name, spec in self.targets.items():
+                lines.append(
+                    f"    ({name}): columns={list(spec.columns)} task={spec.task!r}"
+                )
+        lines.append(")")
+        return "\n".join(lines)
+
     def _extract_targets(self, spec: TargetSpec) -> np.ndarray:
         cols = list(spec.columns)
         if self.records:

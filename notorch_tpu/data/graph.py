@@ -54,6 +54,15 @@ class Graph:
     def num_edges(self) -> int:
         return len(self.edge_types)
 
+    def __repr__(self) -> str:
+        """Compact shape summary (reference ``Graph.__repr__``,
+        graph.py:149-164) instead of the dataclass array dump."""
+        return (
+            f"Graph(V={self.num_nodes}, E={self.num_edges}, "
+            f"node_types=[{self.num_nodes}, {self.node_types.shape[1]}], "
+            f"edge_types=[{self.num_edges}, {self.edge_types.shape[1]}])"
+        )
+
     @property
     def edge_index(self) -> np.ndarray:
         """COO ``[2, E]`` view, reference-compatible."""
@@ -152,6 +161,21 @@ class BatchedGraph(struct.PyTreeNode):
 
     def update(self, **kwargs) -> "BatchedGraph":
         return self.replace(**kwargs)
+
+    def __repr__(self) -> str:
+        """Compact static-shape summary; never touches array *values* so it
+        is safe on tracers and never forces a device sync."""
+        feat = getattr(self.node_feats, "dtype", "?")
+        extras = [
+            name
+            for name in ("in_edges", "csr_perm", "csr_dst")
+            if getattr(self, name) is not None
+        ]
+        tail = f", extras={extras}" if extras else ""
+        return (
+            f"BatchedGraph(V_cap={self.num_nodes}, E_cap={self.num_edges}, "
+            f"graph_slots={self.n_graphs}, feats={feat}{tail})"
+        )
 
 
 def build_in_edges(

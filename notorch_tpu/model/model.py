@@ -152,6 +152,24 @@ class Model:
             terms[name] = cfg["fn"](*args, **kwargs)
         return terms
 
+    def _term_counts(self, batch: dict) -> dict[str, jnp.ndarray]:
+        """Per-term element counts (the mask sum where the term is masked,
+        else the number of target elements) — the correct batch weights for
+        averaging per-batch masked means into the global masked mean, so a
+        ragged final batch does not skew ``evaluate()``."""
+        counts = {}
+        for name, cfg in {**self.losses, **self.metrics}.items():
+            ks = cfg["in_keys"]
+            n = None
+            if isinstance(ks, Mapping):
+                mask_key = ks.get("mask")
+                if mask_key is not None and mask_key in batch:
+                    n = batch[mask_key].astype(jnp.float32).sum()
+                elif ks.get("targets") in batch:
+                    n = jnp.float32(np.prod(batch[ks["targets"]].shape))
+            counts[name] = n if n is not None else jnp.float32(1.0)
+        return counts
+
     # -- steps --------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch: Mapping[str, Any]):
         rng, dropout_rng = jax.random.split(state.rng)
@@ -217,6 +235,10 @@ class Model:
         )
         logs = {f"val/{k}": v for k, v in {**terms, **metric_terms}.items()}
         logs["val/loss"] = val_loss
+        counts = self._term_counts(out)
+        logs.update({f"_count/val/{k}": v for k, v in counts.items()})
+        if self.losses:
+            logs["_count/val/loss"] = counts[next(iter(self.losses))]
         return logs, out
 
     def _predict_step_impl(self, params, batch: Mapping[str, Any], extra_vars=None):

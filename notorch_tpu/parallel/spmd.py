@@ -57,12 +57,17 @@ class SpmdTrainer:
             batch = _squeeze_leading(batch, 2)
             rng = jax.random.fold_in(state.rng, jax.lax.axis_index(data_axis))
             rng, dropout_rng = jax.random.split(rng)
+            # non-param collections (e.g. BatchNorm batch_stats) are threaded
+            # through the sharded step; flax returns (out, vars) only when
+            # mutable is non-empty, so collapse the empty case to False
+            mutable = list(state.extra_vars.keys()) or False
 
             def loss_fn(params):
-                out = model.network.apply(
-                    {"params": params}, dict(batch), training=True,
-                    rngs={"dropout": dropout_rng},
+                result = model.network.apply(
+                    {"params": params, **state.extra_vars}, dict(batch), training=True,
+                    rngs={"dropout": dropout_rng}, mutable=mutable,
                 )
+                out, new_vars = result if mutable else (result, {})
                 out = model._apply_transforms(out, "targets")
                 terms = model._loss_terms(out)
                 total = sum(
@@ -73,9 +78,11 @@ class SpmdTrainer:
                     gate = (jax.lax.axis_index(graph_axis) == 0).astype(total.dtype)
                     total = total * gate
                     terms = {k: v * gate for k, v in terms.items()}
-                return total, terms
+                return total, (terms, new_vars)
 
-            (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (loss, (terms, new_vars)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             # mean over data shards, sum over edge shards
             grads = jax.lax.pmean(grads, data_axis)
             loss = jax.lax.pmean(loss, data_axis)
@@ -84,11 +91,18 @@ class SpmdTrainer:
                 grads = jax.lax.psum(grads, graph_axis)
                 loss = jax.lax.psum(loss, graph_axis)
                 terms = jax.lax.psum(terms, graph_axis)
+            if mutable:
+                # cross-replica statistics: each data shard sees a different
+                # sub-batch, so running stats are averaged over the data axis
+                # (graph shards compute identical stats on the replicated
+                # tail — no combine needed there)
+                new_vars = jax.lax.pmean(dict(new_vars), data_axis)
 
             updates, opt_state = model.optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
-                params=params, opt_state=opt_state, step=state.step + 1, rng=rng
+                params=params, opt_state=opt_state, step=state.step + 1, rng=rng,
+                extra_vars=new_vars if mutable else state.extra_vars,
             )
             logs = {f"train/{k}": v for k, v in terms.items()}
             logs["train/loss"] = loss
@@ -112,9 +126,11 @@ class SpmdTrainer:
 
         self._train_steps = jax.jit(multi_step, donate_argnums=0)
 
-        def local_eval_step(params, batch):
+        def local_eval_step(params, batch, extra_vars):
             batch = _squeeze_leading(batch, 2)
-            out = model.network.apply({"params": params}, dict(batch), training=False)
+            out = model.network.apply(
+                {"params": params, **extra_vars}, dict(batch), training=False
+            )
             out = model._apply_transforms(out, "targets")
             terms = model._loss_terms(out)
             terms.update(model._metric_terms(out))
@@ -128,7 +144,7 @@ class SpmdTrainer:
             shard_map(
                 local_eval_step,
                 mesh=mesh,
-                in_specs=(P(), batch_spec),
+                in_specs=(P(), batch_spec, P()),
                 out_specs=P(),
                 check_vma=False,
             )
@@ -146,17 +162,20 @@ class SpmdTrainer:
 
         def local_init(batch):
             batch = _squeeze_leading(batch, 2)
-            variables = self.model.network.init(
-                {"params": params_rng, "dropout": dropout_rng}, dict(batch), training=True
+            variables = dict(
+                self.model.network.init(
+                    {"params": params_rng, "dropout": dropout_rng}, dict(batch), training=True
+                )
             )
-            return variables["params"]
+            params = variables.pop("params")
+            return params, variables
 
-        params = jax.jit(
+        params, extra_vars = jax.jit(
             shard_map(
                 local_init,
                 mesh=self.mesh,
                 in_specs=(batch_spec,),
-                out_specs=P(),
+                out_specs=(P(), P()),
                 check_vma=False,
             )
         )(stacked_batch)
@@ -166,6 +185,7 @@ class SpmdTrainer:
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
+            extra_vars=extra_vars,
         )
 
     def train_step(self, state: TrainState, stacked_batch):
@@ -177,5 +197,5 @@ class SpmdTrainer:
         batches). Returns (state, step-averaged logs)."""
         return self._train_steps(state, stacked_batches)
 
-    def eval_step(self, params, stacked_batch):
-        return self._eval_step(params, stacked_batch)
+    def eval_step(self, params, stacked_batch, extra_vars=None):
+        return self._eval_step(params, stacked_batch, extra_vars or {})

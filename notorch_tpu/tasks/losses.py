@@ -30,6 +30,10 @@ __all__ = [
     "CrossEntropy",
     "XENT",
     "Dirichlet",
+    "BinaryMCCLoss",
+    "MulticlassMCCLoss",
+    "SID",
+    "Wasserstein",
     "RankNContrastLoss",
 ]
 
@@ -183,6 +187,129 @@ class Dirichlet:
         L_kl = ln_alpha + ln_beta + ((alpha_tilde - beta) * (dg0 - dg1)).sum(-1)
 
         return masked_reduce(L_mse + self.v_kl * L_kl, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class BinaryMCCLoss:
+    """Soft Matthews-correlation loss for (multitask) binary classification:
+    ``1 - MCC`` from soft confusion counts, per task, weighted-mean over tasks.
+
+    Capability parity with the reference's commented-out ``BinaryMCCLoss``
+    (loss.py:230-239). The reference branches on the observed value range to
+    decide logits-vs-probs at runtime; that is data-dependent control flow, so
+    here the choice is the static ``from_logits`` flag.
+    """
+
+    from_logits: bool = True
+    eps: float = 1e-8
+
+    def __call__(
+        self, preds, targets, *, mask=None, sample_weights=None, task_weights=None, **kw
+    ):
+        p = jax.nn.sigmoid(preds) if self.from_logits else preds
+        y = targets.astype(p.dtype)
+        w = jnp.ones_like(p)
+        if mask is not None:
+            w = w * mask.astype(p.dtype)
+        if sample_weights is not None:
+            w = w * sample_weights[:, None]
+        TP = (y * p * w).sum(0)
+        FP = ((1 - y) * p * w).sum(0)
+        TN = ((1 - y) * (1 - p) * w).sum(0)
+        FN = (y * (1 - p) * w).sum(0)
+        denom = jnp.sqrt((TP + FP) * (TP + FN) * (TN + FP) * (TN + FN))
+        mcc = (TP * TN - FP * FN) / jnp.maximum(denom, self.eps)
+        L = 1 - mcc
+        if task_weights is not None:
+            L = L * task_weights
+        return L.mean()
+
+
+@dataclass(frozen=True)
+class MulticlassMCCLoss:
+    """Multiclass MCC loss (sklearn's covariance form), ``1 - MCC``.
+
+    Capability parity with the reference's commented-out ``MulticlassMCCLoss``
+    (loss.py:242-264). ``preds``: [b, t, k] probabilities (or logits with
+    ``from_logits``); ``targets``: [b, t] int class ids. Like the reference,
+    the hard-argmax confusion counts make this a training signal mostly
+    through the ``s`` term — it is primarily a differentiable-ish metric.
+    """
+
+    from_logits: bool = True
+    eps: float = 1e-12
+
+    def __call__(
+        self, preds, targets, *, mask=None, sample_weights=None, task_weights=None, **kw
+    ):
+        p = jax.nn.softmax(preds, axis=-1) if self.from_logits else preds
+        k = p.shape[-1]
+        bin_t = jax.nn.one_hot(targets.astype(jnp.int32), k, dtype=p.dtype)
+        bin_p = jax.nn.one_hot(jnp.argmax(p, axis=-1), k, dtype=p.dtype)
+        w = jnp.ones(p.shape[:2], p.dtype)
+        if mask is not None:
+            w = w * mask.astype(p.dtype)
+        if sample_weights is not None:
+            w = w * sample_weights[:, None]
+        w = w[..., None]
+        pc = (bin_p * w).sum(0)  # [t, k]
+        tc = (bin_t * w).sum(0)
+        c = (bin_p * bin_t * w).sum()
+        s = (p * w).sum()
+        cov_ytyp = c * s - (pc * tc).sum()
+        cov_ypyp = s * s - (pc * pc).sum()
+        cov_ytyt = s * s - (tc * tc).sum()
+        x = cov_ypyp * cov_ytyt
+        mcc = jnp.where(x <= self.eps, 0.0, cov_ytyp / jnp.sqrt(jnp.maximum(x, self.eps)))
+        L = 1 - mcc
+        if task_weights is not None:
+            L = L * jnp.asarray(task_weights).mean()
+        return L
+
+
+@dataclass(frozen=True)
+class SID:
+    """Spectral information divergence for spectra-valued targets: symmetric
+    KL between the (mask-)normalized predicted spectrum and the target.
+
+    Capability parity with the reference's commented-out ``SIDLoss``
+    (loss.py:325-337). ``preds``/``targets``: [b, s] nonnegative spectra;
+    ``mask`` marks valid spectrum bins; masked bins are filled with 1 so they
+    contribute ``log(1) * 1 = 0``.
+    """
+
+    threshold: float | None = None
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        if self.threshold is not None:
+            preds = jnp.clip(preds, min=self.threshold)
+        m = jnp.ones_like(preds, bool) if mask is None else mask.astype(bool)
+        mf = m.astype(preds.dtype)
+        preds_norm = preds / (preds * mf).sum(1, keepdims=True)
+        t = jnp.where(m, targets, 1.0)
+        pn = jnp.where(m, preds_norm, 1.0)
+        L = jnp.log(pn / t) * pn + jnp.log(t / pn) * t
+        return masked_reduce(L, mask, sample_weights)
+
+
+@dataclass(frozen=True)
+class Wasserstein:
+    """Earth-mover distance between cumulative spectra (reference's
+    commented-out ``WassersteinLoss``, loss.py:340-347)."""
+
+    threshold: float | None = None
+
+    def __call__(self, preds, targets, *, mask=None, sample_weights=None, **kw):
+        if self.threshold is not None:
+            preds = jnp.clip(preds, min=self.threshold)
+        mf = (
+            jnp.ones_like(preds)
+            if mask is None
+            else mask.astype(preds.dtype)
+        )
+        preds_norm = preds / (preds * mf).sum(1, keepdims=True)
+        L = jnp.abs(jnp.cumsum(targets, axis=1) - jnp.cumsum(preds_norm, axis=1))
+        return masked_reduce(L, mask, sample_weights)
 
 
 # reference-compatible aliases (loss.py:349-351)

@@ -159,9 +159,12 @@ def evaluate(
     host_metrics: Mapping[str, Mapping] | None = None,
     extra_vars=None,
 ) -> dict[str, float]:
-    """Average device metrics over batches; accumulate outputs for host
-    metrics over the whole pass (proper AUROC, unlike per-batch averaging)."""
+    """Count-weighted average of device metrics over batches (each batch's
+    masked mean is weighted by its mask count, so a ragged final batch does
+    not skew the average); accumulate outputs for host metrics over the whole
+    pass (proper AUROC, unlike per-batch averaging)."""
     sums: dict = {}
+    weights: dict = {}
     n = 0
     accum: dict[str, list[np.ndarray]] = {}
     needed_keys = set()
@@ -178,8 +181,12 @@ def evaluate(
         logs, out = model.eval_step(params, batch, extra_vars)
         n += 1
         for k, v in logs.items():
+            if k.startswith("_count/"):
+                continue
             # device-side accumulation: float() here would sync every batch
-            sums[k] = sums.get(k, 0.0) + v
+            w = logs.get(f"_count/{k}", 1.0)
+            sums[k] = sums.get(k, 0.0) + v * w
+            weights[k] = weights.get(k, 0.0) + w
         for key in needed_keys:
             # hold device arrays; fetching here would sync every batch
             accum.setdefault(key, []).append(out[key])
@@ -187,7 +194,9 @@ def evaluate(
     import jax
 
     accum = {k: [np.asarray(x) for x in jax.device_get(v)] for k, v in accum.items()}
-    results = {k: float(v) / max(n, 1) for k, v in sums.items()}
+    results = {
+        k: float(v) / max(float(weights.get(k, n)), 1e-9) for k, v in sums.items()
+    }
     for name, cfg in (host_metrics or {}).items():
         ks = cfg["in_keys"]
         if isinstance(ks, Mapping):
