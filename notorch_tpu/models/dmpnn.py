@@ -57,13 +57,32 @@ def build_dmpnn(
     metrics: dict | None = None,
     dtype=None,
     graph_axis: str | None = None,
+    partition: str = "molecule",
     layout: str = "flat",
     remat: bool = False,
     impl: str = "gather",
 ) -> Model:
     """The canonical embed -> chemprop -> readout -> FFN property predictor
-    (the model of reference ``tests/integration/test_regression.py``)."""
+    (the model of reference ``tests/integration/test_regression.py``).
+
+    ``graph_axis`` + ``partition`` select the graph-partitioned SPMD scheme:
+
+    - ``"molecule"`` (default): shards hold whole molecules (nodes + edges —
+      :func:`notorch_tpu.parallel.partition.build_molecule_spmd_batch`);
+      message passing is fully local and the only cross-shard traffic is the
+      readout's [G, d] psum. This is the boundary-minimizing design (a
+      molecular batch is a disjoint union, so the boundary set is empty).
+    - ``"replicate"``: legacy replicated-node edge partitioning — a full
+      [V, d] psum every layer (``ChempropLayer.psum_axis``). Use only for
+      batches whose single molecules exceed a shard; for giant single graphs
+      see :mod:`notorch_tpu.parallel.halo`.
+    """
     import jax.numpy as jnp
+
+    if partition not in ("molecule", "replicate"):
+        raise ValueError(f"unknown partition scheme {partition!r}")
+    mp_psum_axis = graph_axis if partition == "replicate" else None
+    readout_psum_axis = graph_axis if partition == "molecule" else None
 
     dtype = dtype or jnp.float32
     embed_kwargs = {}
@@ -112,11 +131,11 @@ def build_dmpnn(
             depth=depth,
             dropout=dropout,
             dtype=dtype,
-            psum_axis=graph_axis,
+            psum_axis=mp_psum_axis,
             remat=remat,
             impl=impl,
         )
-        readout_mod = AGGREGATIONS[aggregation]()
+        readout_mod = AGGREGATIONS[aggregation](psum_axis=readout_psum_axis)
 
     modules = {
         "embed": {"module": embed_mod, "in_keys": ["inputs.G"], "out_keys": ["G"]},

@@ -100,14 +100,26 @@ class NodeHead(nn.Module):
 
 @dataclass(frozen=True)
 class MaskedNodeCrossEntropy:
-    """CE over masked node positions only (labels == -1 are ignored)."""
+    """CE over masked node positions only (labels == -1 are ignored).
+
+    ``psum_axis``: with molecule-partitioned (node-sharded) batches, each
+    shard sees a disjoint node subset, so the global masked mean is the psum
+    of local numerators over the psum of local counts — the loss value comes
+    out REPLICATED across graph shards (and thus compatible with the
+    SpmdTrainer's count-once gating)."""
+
+    psum_axis: str | None = None
 
     def __call__(self, logits, labels, **kw):
-        mask = labels >= 0
+        mask = (labels >= 0).astype(logits.dtype)
         safe = jnp.maximum(labels, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1).squeeze(-1)
-        return masked_reduce(nll[:, None], mask[:, None])
+        if self.psum_axis is None:
+            return masked_reduce(nll[:, None], mask[:, None] > 0)
+        num = jax.lax.psum((nll * mask).sum(), self.psum_axis)
+        den = jax.lax.psum(mask.sum(), self.psum_axis)
+        return num / jnp.maximum(den, 1.0)
 
 
 def build_masked_atom_pretrainer(
@@ -117,13 +129,20 @@ def build_masked_atom_pretrainer(
     learning_rate: float = 1e-3,
     optimizer=None,
     graph_axis: str | None = None,
+    partition: str = "molecule",
 ) -> Model:
     """embed -> chemprop -> per-node head -> masked CE on element identity.
 
-    ``graph_axis``: mesh axis name for edge-partitioned message passing
-    (sets ``ChempropBlock.psum_axis`` so the E->V reduction psums over ICI;
-    use with :class:`notorch_tpu.parallel.spmd.SpmdTrainer`).
+    ``graph_axis`` + ``partition`` select the graph-partitioned scheme
+    (see :func:`notorch_tpu.models.dmpnn.build_dmpnn`): ``"molecule"``
+    (default) shards nodes+edges by molecule — message passing is local and
+    only the loss's scalar numerator/denominator cross shards; ``"replicate"``
+    is the legacy full-[V,d]-psum-per-layer edge partitioning.
     """
+    if partition not in ("molecule", "replicate"):
+        raise ValueError(f"unknown partition scheme {partition!r}")
+    mp_psum_axis = graph_axis if partition == "replicate" else None
+    loss_psum_axis = graph_axis if partition == "molecule" else None
     modules = {
         "embed": {
             "module": GraphEmbedding(hidden_dim=hidden_dim),
@@ -132,7 +151,7 @@ def build_masked_atom_pretrainer(
         },
         "mp": {
             "module": ChempropBlock(
-                hidden_dim=hidden_dim, depth=depth, psum_axis=graph_axis
+                hidden_dim=hidden_dim, depth=depth, psum_axis=mp_psum_axis
             ),
             "in_keys": ["embed.G"],
             "out_keys": ["G"],
@@ -145,7 +164,7 @@ def build_masked_atom_pretrainer(
     }
     losses = {
         "masked_ce": {
-            "fn": MaskedNodeCrossEntropy(),
+            "fn": MaskedNodeCrossEntropy(psum_axis=loss_psum_axis),
             "in_keys": ["head.logits", "inputs.node_labels"],
             "weight": 1.0,
         }

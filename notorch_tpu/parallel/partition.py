@@ -1,13 +1,26 @@
 """Graph partitioning for multi-chip execution.
 
-Two axes (SURVEY §2.2 "consequence for the TPU build"):
+Three schemes, by boundary traffic (SURVEY §2.2 "consequence for the TPU
+build"; BASELINE north star):
 
 - **data**: independent molecule batches per device — the DDP analog.
-- **graph** (edge partitioning): ONE batched graph's *edge* array split
-  across devices, node state replicated within the group; the E->V
-  reductions are combined with an ICI ``psum`` (the halo exchange). This is
-  the graph analog of sequence/context parallelism and is how a single
-  giant batch (PCQM4Mv2-scale) spans chips.
+- **molecule partitioning** (the production graph axis): whole molecules are
+  assigned to shards, nodes AND edges together. Molecular batches are
+  disjoint unions, so message passing is **fully local — zero boundary
+  traffic**; the only cross-shard communication of the whole forward is one
+  ``psum`` of the [G, d] per-graph readout partials (O(G·d) per *step*,
+  vs the replicated scheme's O(V·d) per *layer*). See
+  :func:`partition_molecules` / :func:`build_molecule_spmd_batch` and the
+  ``psum_axis`` option on :mod:`notorch_tpu.nn.agg`.
+- **edge partitioning with replicated nodes** (legacy/simple): ONE batched
+  graph's *edge* array split across devices, node state replicated; E->V
+  reductions combined with a full ``psum`` per layer
+  (``ChempropLayer.psum_axis``). Correct but communication-heavy; kept for
+  comparison and as the fallback when molecules exceed a shard.
+- **edge partitioning with boundary halo exchange** (giant single graphs):
+  nodes sharded in contiguous blocks, edges assigned with their reverse
+  pairs, and only *boundary* node rows exchanged via ``all_to_all`` — see
+  :mod:`notorch_tpu.parallel.halo`.
 
 Edges are produced in (u,v),(v,u) pairs, so any even-offset contiguous split
 keeps each edge's reverse partner in the same shard — ``rev`` stays a local
@@ -20,7 +33,14 @@ import numpy as np
 
 from notorch_tpu.data.graph import BatchedGraph, Graph, pad_graphs
 
-__all__ = ["shard_graph_edges", "build_spmd_batch", "stack_pytrees"]
+__all__ = [
+    "shard_graph_edges",
+    "build_spmd_batch",
+    "stack_pytrees",
+    "partition_molecules",
+    "shard_graph_molecules",
+    "build_molecule_spmd_batch",
+]
 
 
 def shard_graph_edges(bg: BatchedGraph, n_shards: int) -> list[BatchedGraph]:
@@ -58,6 +78,132 @@ def shard_graph_edges(bg: BatchedGraph, n_shards: int) -> list[BatchedGraph]:
             )
         )
     return shards
+
+
+def partition_molecules(graphs: list[Graph], n_shards: int) -> list[list[int]]:
+    """Assign whole molecules to shards, balancing by edge count (LPT greedy
+    bin packing). Molecules are disjoint graph components, so a shard owns
+    every node and edge of its molecules — the boundary set is EMPTY and
+    message passing needs no communication at all.
+
+    Returns per-shard lists of molecule indices (each sorted ascending).
+    """
+    order = np.argsort([-g.num_edges for g in graphs], kind="stable")
+    loads = np.zeros(n_shards, dtype=np.int64)
+    assign: list[list[int]] = [[] for _ in range(n_shards)]
+    for i in order:
+        s = int(np.argmin(loads))
+        assign[s].append(int(i))
+        loads[s] += max(graphs[i].num_edges, 1)
+    return [sorted(a) for a in assign]
+
+
+def shard_graph_molecules(
+    graphs: list[Graph],
+    n_shards: int,
+    node_cap: int,
+    edge_cap: int,
+    graph_cap: int,
+    assign: list[list[int]] | None = None,
+) -> list[BatchedGraph]:
+    """Partition molecules across ``n_shards`` and pad each shard to the
+    SAME (per-shard) caps, relabeling graph ids to GLOBAL slots so per-shard
+    readout partials ``psum`` into the global [graph_cap, d] embedding.
+
+    ``node_cap``/``edge_cap`` are per-shard caps. Global graph slot of the
+    j-th molecule on shard s is its index in the original ``graphs`` list;
+    padding slots map to the global trash slot ``graph_cap``.
+    """
+    if assign is None:
+        assign = partition_molecules(graphs, n_shards)
+    shards = []
+    for idx in assign:
+        sub = [graphs[i] for i in idx]
+        if sub:
+            bg = pad_graphs(sub, node_cap, edge_cap, graph_cap=len(sub), np_out=True)
+            lut = np.asarray(idx + [graph_cap], dtype=np.int32)  # local -> global
+        else:
+            # empty shard: a dummy pure-padding molecule with matching
+            # feature-family widths so stacked shard pytrees line up
+            t_v = graphs[0].node_types.shape[1] if graphs else 1
+            t_e = graphs[0].edge_types.shape[1] if graphs else 1
+            bg = pad_graphs(
+                [Graph(
+                    node_types=np.zeros((1, t_v), np.int32),
+                    edge_types=np.zeros((0, t_e), np.int32),
+                    src=np.zeros(0, np.int32),
+                    dst=np.zeros(0, np.int32),
+                    rev=np.zeros(0, np.int32),
+                )],
+                node_cap, edge_cap, graph_cap=1, np_out=True,
+            )
+            # the dummy molecule is pure padding: every id -> trash
+            lut = np.asarray([graph_cap, graph_cap], dtype=np.int32)
+            bg = bg.replace(
+                node_mask=np.zeros_like(np.asarray(bg.node_mask)),
+                edge_mask=np.zeros_like(np.asarray(bg.edge_mask)),
+                num_graphs_real=np.asarray(0, np.int32),
+            )
+        shards.append(
+            bg.replace(
+                node_graph=lut[np.asarray(bg.node_graph)],
+                edge_graph=lut[np.asarray(bg.edge_graph)],
+                n_graphs=graph_cap,
+            )
+        )
+    return shards
+
+
+def build_molecule_spmd_batch(
+    graph_groups: list[list[Graph]],
+    target_arrays: dict[str, np.ndarray] | None,
+    node_cap: int,
+    edge_cap: int,
+    graph_cap: int,
+    n_graph_shards: int = 1,
+    extra_inputs: dict[str, list[np.ndarray]] | None = None,
+    node_attrs: tuple[str, ...] = (),
+):
+    """Like :func:`build_spmd_batch` but the graph axis carries MOLECULE
+    partitions (sharded nodes + edges, zero-boundary message passing) instead
+    of replicated-node edge shards. ``node_cap``/``edge_cap`` are per-shard
+    caps. Targets are tiled across the graph axis (the readout psum makes the
+    per-graph embedding replicated, so the loss tail is replicated too —
+    same gradient-exactness gating as the legacy scheme).
+
+    ``node_attrs``: names of per-node int attributes carried on the ragged
+    ``Graph`` objects (e.g. the masked-pretraining ``node_labels``); they are
+    collated PER SHARD, aligned with each shard's local node layout, and
+    stored as ``inputs.<name>`` (padding -> -1).
+    """
+    data_entries = []
+    for gi, graphs in enumerate(graph_groups):
+        assign = partition_molecules(graphs, n_graph_shards)
+        shards = shard_graph_molecules(
+            graphs, n_graph_shards, node_cap, edge_cap, graph_cap, assign=assign
+        )
+        entry = {"inputs.G": stack_pytrees(shards)}
+        tiled = lambda x: np.broadcast_to(x, (n_graph_shards,) + x.shape).copy()
+        for name, arr in (target_arrays or {}).items():
+            rows = np.asarray(arr[gi], dtype=np.float32)
+            mask = ~np.isnan(rows)
+            entry[f"targets.{name}"] = tiled(np.nan_to_num(rows, nan=0.0))
+            entry[f"targets.{name}_mask"] = tiled(mask)
+        for name, arrs in (extra_inputs or {}).items():
+            entry[f"inputs.{name}"] = tiled(np.asarray(arrs[gi]))
+        for attr in node_attrs or ():
+            rows = []
+            for idx in assign:
+                vals = np.full(node_cap, -1, dtype=np.int32)
+                off = 0
+                for i in idx:
+                    v = np.asarray(getattr(graphs[i], attr))
+                    vals[off : off + len(v)] = v
+                    off += len(v)
+                rows.append(vals)
+            entry[f"inputs.{attr}"] = np.stack(rows)
+        data_entries.append(entry)
+    return stack_pytrees(data_entries)
 
 
 def stack_pytrees(trees: list):
