@@ -238,6 +238,255 @@ def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
     return g_h0, None, None, None, g_W, g_b
 
 
+# -- residual-stash variant ---------------------------------------------------
+#
+# The recompute backward spends 2(depth-1) matmuls per tile replaying the
+# forward. This variant's FORWARD also writes each layer's input hiddens
+# (h0..h_{depth-1}) to HBM; the backward reads them back instead of
+# recomputing — trading depth extra [B, E, d] HBM round-trips for
+# 2(depth-1) matmuls per tile. Which wins depends on where the kernel sits
+# on the roofline; both are exposed and measured (scripts/exp_train_step.py).
+
+
+def _block_kernel_stash(
+    src_ref, dst_ref, emask_ref, h_ref, w_ref, b_ref,
+    out_ref,  # [NB, E, d]
+    hs_ref,  # [depth, NB, E, d] — layer INPUTS
+    *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
+):
+    i = pl.program_id(0)
+    h = h_ref[:]
+    NB, E, d = h.shape
+    row0 = i * tile
+    src = src_ref[pl.ds(row0, NB), :]
+    dst = dst_ref[pl.ds(row0, NB), :]
+    emask = emask_ref[pl.ds(row0, NB), :]
+    mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
+
+    A = _edge_adjacency(src, dst, emask, mm)
+
+    def pair_swap(x):
+        p = x.reshape(NB, E // 2, 2, d)
+        swapped = jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2)
+        return swapped.reshape(NB, E, d)
+
+    for layer_idx in range(depth):
+        hs_ref[layer_idx] = h
+        m = jnp.maximum(h, 0.0)
+        mW = (
+            jax.lax.dot_general(
+                m.reshape(NB * E, d).astype(mm), w_ref[layer_idx].astype(mm),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            .astype(h.dtype)
+            .reshape(NB, E, d)
+        )
+        out = (
+            jax.lax.dot_general(
+                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(h.dtype)
+            - pair_swap(mW)
+            + b_ref[layer_idx][None, None, :]
+        )
+        h = h + out if residual else out
+
+    out_ref[:] = h
+
+
+def _bwd_kernel_stash(
+    src_ref, dst_ref, emask_ref,
+    hs_ref,  # [depth, NB, E, d] stashed layer inputs
+    w_ref, g_ref,
+    gh_ref, gw_ref, gb_ref,
+    *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
+):
+    i = pl.program_id(0)
+    NB, E, d = g_ref.shape
+    row0 = i * tile
+    src = src_ref[pl.ds(row0, NB), :]
+    dst = dst_ref[pl.ds(row0, NB), :]
+    emask = emask_ref[pl.ds(row0, NB), :]
+    dt = g_ref.dtype
+    mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
+
+    A = _edge_adjacency(src, dst, emask, mm)
+
+    def pair_swap(x):
+        p = x.reshape(NB, E // 2, 2, d)
+        return jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2).reshape(
+            NB, E, d
+        )
+
+    @pl.when(i == 0)
+    def _init():
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+        gb_ref[:] = jnp.zeros_like(gb_ref)
+
+    g = g_ref[:]
+    for l in reversed(range(depth)):
+        h_in = hs_ref[l]
+        m = jnp.maximum(h_in, 0.0)
+        g_mW = jax.lax.dot_general(
+            A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt) - pair_swap(g)
+        gw_ref[l] += jax.lax.dot_general(
+            m.reshape(NB * E, d).astype(mm), g_mW.reshape(NB * E, d).astype(mm),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(gw_ref.dtype)
+        gb_ref[l] += jnp.sum(g.reshape(NB * E, d), axis=0).astype(gb_ref.dtype)
+        g_m = jax.lax.dot_general(
+            g_mW.reshape(NB * E, d).astype(mm), w_ref[l].astype(mm),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dt).reshape(NB, E, d)
+        g_h = g_m * jnp.where(h_in > 0, 1.0, 0.0).astype(dt)
+        g = g_h + g if residual else g_h
+
+    gh_ref[:] = g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+    ),
+)
+def fused_dense_mpnn_block_stash(
+    edge_hiddens, src, dst, edge_mask, weights, biases,
+    *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+):
+    """Forward that ALSO emits each layer's input hiddens.
+    Returns (out [B, E, d], hs [depth, B, E, d])."""
+    B, E, d = edge_hiddens.shape
+    NB = min(mols_per_tile, B)
+    if B % NB != 0:
+        raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
+    emask = edge_mask.astype(jnp.float32)
+    kernel = functools.partial(
+        _block_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
+        residual=residual, mm_dtype=matmul_dtype,
+    )
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // NB,),
+        in_specs=[
+            whole((B, E)),
+            whole((B, E)),
+            whole((B, E)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            whole(tuple(biases.shape)),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((depth, NB, E, d), lambda i: (0, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
+            jax.ShapeDtypeStruct((depth, B, E, d), edge_hiddens.dtype),
+        ],
+        interpret=interpret,
+    )(src, dst, emask, edge_hiddens, weights, biases)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+    ),
+)
+def fused_dense_mpnn_block_bwd_stash(
+    hs,  # [depth, B, E, d] stashed layer inputs
+    src, dst, edge_mask, weights, cotangent,
+    *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+):
+    """Pallas backward consuming stashed residuals (no forward recompute).
+    Returns (g_h0, g_W, g_b)."""
+    _, B, E, d = hs.shape
+    NB = min(mols_per_tile, B)
+    if B % NB != 0:
+        raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
+    emask = edge_mask.astype(jnp.float32)
+    kernel = functools.partial(
+        _bwd_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
+        residual=residual, mm_dtype=matmul_dtype,
+    )
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // NB,),
+        in_specs=[
+            whole((B, E)),
+            whole((B, E)),
+            whole((B, E)),
+            pl.BlockSpec((depth, NB, E, d), lambda i: (0, i, 0, 0)),
+            whole(tuple(weights.shape)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            whole((weights.shape[0], d)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, E, d), cotangent.dtype),
+            jax.ShapeDtypeStruct(tuple(weights.shape), weights.dtype),
+            jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
+        ],
+        interpret=interpret,
+    )(src, dst, emask, hs, weights, cotangent)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_dense_mpnn_block_trainable_stash(
+    edge_hiddens, src, dst, edge_mask, weights, biases,
+    depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+):
+    """Trainable fused block with the residual-stash backward: the forward
+    writes per-layer inputs to HBM, the backward reads them back (3 matmuls
+    per layer, no recompute)."""
+    return fused_dense_mpnn_block(
+        edge_hiddens, src, dst, edge_mask, weights, biases,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
+    )
+
+
+def _stash_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
+               depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype):
+    out, hs = fused_dense_mpnn_block_stash(
+        edge_hiddens, src, dst, edge_mask, weights, biases,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
+    )
+    return out, (hs, src, dst, edge_mask, weights)
+
+
+def _stash_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
+               res, g):
+    hs, src, dst, edge_mask, weights = res
+    g_h0, g_W, g_b = fused_dense_mpnn_block_bwd_stash(
+        hs, src, dst, edge_mask, weights, g,
+        depth=depth, n_nodes=n_nodes, residual=residual,
+        mols_per_tile=mols_per_tile, interpret=interpret,
+        matmul_dtype=matmul_dtype,
+    )
+    return g_h0, None, None, None, g_W, g_b
+
+
+fused_dense_mpnn_block_trainable_stash.defvjp(_stash_fwd, _stash_bwd)
+
+
 # -- Pallas backward ---------------------------------------------------------
 
 
@@ -280,9 +529,11 @@ def _bwd_kernel(
         gw_ref[:] = jnp.zeros_like(gw_ref)
         gb_ref[:] = jnp.zeros_like(gb_ref)
 
-    # forward recompute, keeping each layer's input (static depth)
+    # forward recompute, keeping each layer's INPUT (static depth). The
+    # reverse sweep reads hs[0..depth-1] only, so the last layer's output
+    # is never recomputed (2 matmuls saved per tile).
     hs = [h]
-    for l in range(depth):
+    for l in range(depth - 1):
         m = jnp.maximum(hs[l], 0.0)
         mW = jax.lax.dot_general(
             m.reshape(NB * E, d).astype(mm), w_ref[l].astype(mm),

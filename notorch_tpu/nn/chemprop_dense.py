@@ -34,6 +34,38 @@ class _Update(nn.Module):
         return nn.Dense(self.hidden_dim, use_bias=self.bias, dtype=self.dtype, name="update")(x)
 
 
+class _DenseParams(nn.Module):
+    """Creates ``{kernel, bias}`` params with ``nn.Dense``'s exact tree and
+    initializers, returning the values (for kernels that consume stacked
+    weights directly)."""
+
+    hidden_dim: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.hidden_dim, self.hidden_dim)
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.hidden_dim,))
+        else:
+            b = jnp.zeros((self.hidden_dim,), jnp.float32)
+        return k, b
+
+
+class _UpdateParams(nn.Module):
+    """``layer_i/update/{kernel,bias}`` — the shared per-layer param tree of
+    the flat/dense/fused D-MPNN blocks."""
+
+    hidden_dim: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.hidden_dim, self.use_bias, name="update")()
+
+
 class DenseChempropBlock(nn.Module):
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     act: Callable = nn.relu
@@ -140,9 +172,13 @@ def fused_block_apply(
 
 class FusedDenseChempropBlock(nn.Module):
     """D-MPNN block backed by the fused Pallas kernel (trainable via the
-    custom-VJP wrapper). Weights live as stacked [depth, d, d] / [depth, d]
-    params. On non-TPU backends the kernel runs in interpret mode, so the
-    module is usable everywhere (tests run it on CPU).
+    custom-VJP wrappers). Parameters live per-layer under
+    ``layer_i/update/{kernel,bias}`` — the SAME tree as the flat
+    :class:`~notorch_tpu.nn.chemprop.ChempropBlock` and the jnp
+    :class:`DenseChempropBlock`, so weights (and checkpoints) are
+    layout-interchangeable; they are stacked at trace time for the kernel.
+    On non-TPU backends the kernel runs in interpret mode, so the module is
+    usable everywhere (tests run it on CPU).
 
     Dropout is not supported inside the fused kernel; use the jnp
     :class:`DenseChempropBlock` when training with edge dropout.
@@ -151,11 +187,14 @@ class FusedDenseChempropBlock(nn.Module):
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     depth: int = 3
     residual: bool = True
+    bias: bool = True
     mols_per_tile: int = 8
-    # Pallas backward (per-tile recompute in VMEM) — 95.6M edge-layer/s
-    # fwd+bwd on v5e vs 14.3M with the jnp recompute backward; gradients
-    # identical (tested)
-    pallas_backward: bool = True
+    # backward pass strategy:
+    #   "recompute" — Pallas backward, per-tile forward replay in VMEM
+    #   "stash"     — Pallas backward reading per-layer residuals the forward
+    #                 stashed to HBM (no recompute; more HBM traffic)
+    #   "jnp"       — jnp recompute backward (debug/fallback)
+    backward: str = "recompute"
     # cast MXU operands inside the kernels (e.g. "bfloat16"); state stays f32
     matmul_dtype: str | None = None
 
@@ -164,15 +203,15 @@ class FusedDenseChempropBlock(nn.Module):
         from notorch_tpu.kernels.dense_mpnn import (
             fused_dense_mpnn_block_trainable,
             fused_dense_mpnn_block_trainable_fast,
+            fused_dense_mpnn_block_trainable_stash,
         )
 
-        d = self.hidden_dim
-        Ws = self.param(
-            "kernels",
-            nn.initializers.lecun_normal(batch_axis=(0,)),
-            (self.depth, d, d),
-        )
-        bs = self.param("biases", nn.initializers.zeros, (self.depth, d))
+        per_layer = [
+            _UpdateParams(self.hidden_dim, self.bias, name=f"layer_{i}")()
+            for i in range(self.depth)
+        ]
+        Ws = jnp.stack([k for k, _ in per_layer])
+        bs = jnp.stack([b for _, b in per_layer])
 
         Gm = G.gather_matrix(G.node_feats.dtype)
         h0 = (
@@ -184,11 +223,11 @@ class FusedDenseChempropBlock(nn.Module):
         while B % tile != 0:
             tile //= 2
         interpret = jax.default_backend() != "tpu"
-        fn = (
-            fused_dense_mpnn_block_trainable_fast
-            if self.pallas_backward
-            else fused_dense_mpnn_block_trainable
-        )
+        fn = {
+            "recompute": fused_dense_mpnn_block_trainable_fast,
+            "stash": fused_dense_mpnn_block_trainable_stash,
+            "jnp": fused_dense_mpnn_block_trainable,
+        }[self.backward]
         edge_hiddens = fn(
             h0, G.src, G.dst, G.edge_mask, Ws, bs,
             self.depth, G.nodes_per_graph, self.residual, max(tile, 1), interpret,

@@ -293,3 +293,123 @@ def test_trainable_fast_grads_match():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_stash_forward_and_grads_match():
+    """Residual-stash variant: the stashing forward equals the plain fused
+    forward, the stashed hs equal the jnp replay, and the stash backward
+    equals jnp autodiff."""
+    from notorch_tpu.kernels.dense_mpnn import (
+        _jnp_forward_collect,
+        fused_dense_mpnn_block_stash,
+        fused_dense_mpnn_block_trainable_stash,
+    )
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 16, 3
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(7)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    block = DenseChempropBlock(hidden_dim=d, depth=depth)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    bv = block.init(key, G)
+    Ws = jnp.stack([bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)])
+    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    Gm = G.gather_matrix(jnp.float32)
+    S = G.scatter_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+    emask = G.edge_mask.astype(jnp.float32)[..., None]
+
+    out, hs = fused_dense_mpnn_block_stash(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=32, residual=True, mols_per_tile=2, interpret=True,
+    )
+    ref_out = fused_dense_mpnn_block(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=32, residual=True, mols_per_tile=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5)
+    hs_ref = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
+    for l in range(depth):  # stashed layer inputs h0..h_{depth-1}
+        np.testing.assert_allclose(
+            np.asarray(hs[l]), np.asarray(hs_ref[l]), rtol=1e-4, atol=1e-4
+        )
+
+    def loss_stash(h0, Ws, bs):
+        out = fused_dense_mpnn_block_trainable_stash(
+            h0, G.src, G.dst, G.edge_mask, Ws, bs, depth, 32, True, 2, True
+        )
+        return ((out * emask) ** 2).sum()
+
+    def loss_ref(h0, Ws, bs):
+        hs = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
+        return ((hs[-1] * emask) ** 2).sum()
+
+    v1, g1 = jax.value_and_grad(loss_stash, argnums=(0, 1, 2))(h0, Ws, bs)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(h0, Ws, bs)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_fused_module_params_interchangeable_with_dense():
+    """FusedDenseChempropBlock's param tree equals DenseChempropBlock's
+    (layer_i/update/{kernel,bias}), so checkpoints move between the fused
+    (TPU) and jnp (CPU) paths."""
+    from notorch_tpu.nn.chemprop_dense import FusedDenseChempropBlock
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 16, 2
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(9)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+
+    dense = DenseChempropBlock(hidden_dim=d, depth=depth)
+    fused = FusedDenseChempropBlock(hidden_dim=d, depth=depth, mols_per_tile=2)
+    dv = dense.init(key, G)
+    fv = fused.init(key, G)
+    assert jax.tree.structure(dv) == jax.tree.structure(fv)
+    # apply the fused module with the DENSE module's params: same output
+    ref = dense.apply(dv, G)
+    out = fused.apply(dv, G)
+    emask = np.asarray(G.edge_mask)
+    np.testing.assert_allclose(
+        np.asarray(out.edge_feats)[emask], np.asarray(ref.edge_feats)[emask],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_fused_module_stash_backward_trains():
+    """The stash-backward module variant produces finite grads end to end."""
+    from notorch_tpu.nn.chemprop_dense import FusedDenseChempropBlock
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 16, 2
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(11)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    recompute = FusedDenseChempropBlock(hidden_dim=d, depth=depth, mols_per_tile=2)
+    stash = FusedDenseChempropBlock(
+        hidden_dim=d, depth=depth, mols_per_tile=2, backward="stash"
+    )
+    fv = recompute.init(key, G)
+
+    def loss(mod, params):
+        out = mod.apply(params, G)
+        m = G.edge_mask.astype(jnp.float32)[..., None]
+        return ((out.edge_feats * m) ** 2).sum()
+
+    v_r, g_r = jax.value_and_grad(lambda p: loss(recompute, p))(fv)
+    v_s, g_s = jax.value_and_grad(lambda p: loss(stash, p))(fv)
+    np.testing.assert_allclose(float(v_r), float(v_s), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        ),
+        g_r, g_s,
+    )
