@@ -56,7 +56,22 @@ def run_predict(
         }
         for name, t in meta["transforms"].items()
     }
-    model = build_model(meta["model"], transforms, build_optimizer(meta.get("optimizer")))
+    model_cfg = dict(meta["model"])
+    if model_cfg.get("kind", "dmpnn") == "dmpnn" and "modules" not in model_cfg:
+        # metas written by current trainers store the resolved layout; this
+        # covers hand-written metas that still say "auto"
+        from notorch_tpu.models.dmpnn import resolve_layout
+
+        model_cfg["layout"] = resolve_layout(
+            model_cfg.get("layout", "auto"),
+            dropout=model_cfg.get("dropout", 0.0),
+            graph_axis=model_cfg.get("graph_axis"),
+            remat=model_cfg.get("remat", False),
+            impl=model_cfg.get("impl", "gather"),
+        )
+        meta = dict(meta)
+        meta["model"] = model_cfg
+    model = build_model(model_cfg, transforms, build_optimizer(meta.get("optimizer")))
 
     data_cfg = dict(meta.get("data") or {})
     data_cfg["csv"] = str(csv)

@@ -402,12 +402,27 @@ def run(cfg: dict) -> dict:
         t["preds"]["key"] = pred_key
 
     optimizer = build_optimizer(cfg.get("optimizer"))
-    model = build_model(cfg.get("model", {}), transforms, optimizer)
+    model_cfg = dict(cfg.get("model", {}))
+    if model_cfg.get("kind", "dmpnn") == "dmpnn" and "modules" not in model_cfg:
+        # resolve layout="auto" HERE so the data pipeline, the saved
+        # predict_meta, and the built model all agree on the layout
+        from notorch_tpu.models.dmpnn import resolve_layout
+
+        model_cfg["layout"] = resolve_layout(
+            model_cfg.get("layout", "auto"),
+            dropout=model_cfg.get("dropout", 0.0),
+            graph_axis=model_cfg.get("graph_axis"),
+            remat=model_cfg.get("remat", False),
+            impl=model_cfg.get("impl", "gather"),
+        )
+        cfg = dict(cfg)
+        cfg["model"] = model_cfg
+    model = build_model(model_cfg, transforms, optimizer)
 
     batch_size = trainer_cfg.get("batch_size", 64)
-    model_layout = cfg.get("model", {}).get("layout", "flat")
+    model_layout = model_cfg.get("layout", "flat")
     data_layout = "dense" if str(model_layout).startswith("dense") else "flat"
-    csr_pack = cfg.get("model", {}).get("impl") == "csr" and data_layout == "flat"
+    csr_pack = model_cfg.get("impl") == "csr" and data_layout == "flat"
     train_loader = DataLoader(
         train, batch_size=batch_size, shuffle=True, seed=seed, layout=data_layout,
         sort_by_size=data_layout == "dense", csr_pack=csr_pack,

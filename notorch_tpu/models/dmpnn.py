@@ -39,6 +39,44 @@ _LOSSES = {
 }
 
 
+def resolve_layout(
+    layout: str = "auto",
+    *,
+    dropout: float = 0.0,
+    dtype=None,
+    graph_axis: str | None = None,
+    remat: bool = False,
+    impl: str = "gather",
+) -> str:
+    """Pick the fastest D-MPNN layout whose constraints hold.
+
+    ``"auto"`` resolves to:
+
+    - ``"dense_fused"`` (the Pallas block kernel — 364M fwd / fastest
+      fwd+bwd edge-layer rate measured on v5e) when its constraints hold:
+      no edge dropout, f32 state, no graph-axis partitioning, no remat,
+      default impl;
+    - ``"dense"`` (jnp einsum dense layout) when edge dropout or a non-f32
+      dtype is requested — still MXU-shaped, supports dropout/bf16;
+    - ``"flat"`` when graph-axis partitioning / remat / a flat-specific
+      ``impl`` is requested (the molecule-partition and halo SPMD schemes
+      operate on the flat layout).
+
+    Explicit layouts pass through unchanged.
+    """
+    if layout != "auto":
+        return layout
+    if graph_axis is not None or remat or impl != "gather":
+        return "flat"
+    import jax.numpy as jnp
+
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return "dense"
+    if dropout and dropout > 0.0:
+        return "dense"
+    return "dense_fused"
+
+
 def build_dmpnn(
     num_tasks: int = 1,
     task: str = "regression",
@@ -58,12 +96,19 @@ def build_dmpnn(
     dtype=None,
     graph_axis: str | None = None,
     partition: str = "molecule",
-    layout: str = "flat",
+    layout: str = "auto",
     remat: bool = False,
     impl: str = "gather",
 ) -> Model:
     """The canonical embed -> chemprop -> readout -> FFN property predictor
     (the model of reference ``tests/integration/test_regression.py``).
+
+    ``layout`` defaults to ``"auto"``: the fused Pallas dense block
+    (``dense_fused``) whenever its constraints hold, falling back to the jnp
+    dense layout (edge dropout / non-f32) or flat (graph partitioning,
+    remat, flat-specific impls) — see :func:`resolve_layout`. The flat
+    layout remains the data-prep/debug and partitioned-SPMD path; training
+    runs on the dense layouts.
 
     ``graph_axis`` + ``partition`` select the graph-partitioned SPMD scheme:
 
@@ -79,6 +124,15 @@ def build_dmpnn(
     """
     import jax.numpy as jnp
 
+    layout = resolve_layout(
+        layout, dropout=dropout, dtype=dtype, graph_axis=graph_axis,
+        remat=remat, impl=impl,
+    )
+    if graph_axis is not None and layout != "flat":
+        raise ValueError(
+            "graph-axis partitioning operates on the flat layout; got "
+            f"layout={layout!r} with graph_axis={graph_axis!r}"
+        )
     if partition not in ("molecule", "replicate"):
         raise ValueError(f"unknown partition scheme {partition!r}")
     mp_psum_axis = graph_axis if partition == "replicate" else None
@@ -118,6 +172,11 @@ def build_dmpnn(
             dtype=dtype,
         )
         if layout == "dense_fused":
+            if dropout and dropout > 0.0:
+                raise ValueError(
+                    "the fused Pallas block does not support edge dropout; "
+                    "use layout='dense' (or layout='auto', which selects it)"
+                )
             mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
         else:
             mp_mod = DenseChempropBlock(

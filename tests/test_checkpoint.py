@@ -19,7 +19,7 @@ def _batch():
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    model = build_dmpnn(hidden_dim=16, depth=2)
+    model = build_dmpnn(hidden_dim=16, depth=2, layout="flat")
     batch = _batch()
     state = model.init(jax.random.PRNGKey(0), batch)
     for _ in range(3):
@@ -44,7 +44,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_checkpoint_retention(tmp_path):
-    model = build_dmpnn(hidden_dim=16, depth=1)
+    model = build_dmpnn(hidden_dim=16, depth=1, layout="flat")
     batch = _batch()
     state = model.init(jax.random.PRNGKey(0), batch)
     ckpt = Checkpointer(tmp_path / "ckpt", max_to_keep=2)

@@ -62,6 +62,7 @@ def test_multitask_bce_auroc(smis, rng):
         hidden_dim=64,
         depth=2,
         optimizer=optax.adam(2e-3),
+        layout="flat",
     )
     loader = DataLoader(ds, batch_size=50, shuffle=True, seed=0)
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))

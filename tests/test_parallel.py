@@ -61,7 +61,7 @@ def test_shard_graph_edges_invariants():
 def test_data_parallel_matches_single_device():
     n_data, per = 4, 2
     mesh = make_mesh({"data": n_data}, devices=jax.devices()[:n_data])
-    model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+    model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), layout="flat")
     trainer = SpmdTrainer(model, mesh, data_axis="data")
 
     groups = _groups(n_data, per)
@@ -118,7 +118,7 @@ def test_edge_partition_matches_single_device():
         hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), graph_axis="graph",
         partition="replicate",
     )
-    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), layout="flat")
     trainer = SpmdTrainer(model_sharded, mesh, data_axis="data", graph_axis="graph")
 
     groups = _groups(n_data, per)
@@ -182,7 +182,7 @@ def test_molecule_partition_matches_single_device(n_data, n_shards):
         hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), graph_axis="graph",
         partition="molecule",
     )
-    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), layout="flat")
     trainer = SpmdTrainer(model_sharded, mesh, data_axis="data", graph_axis="graph")
 
     graphs = [PIPE(s) for s in SMIS]
@@ -242,7 +242,7 @@ def test_molecule_partition_cross_shard_readouts(aggregation):
     n_shards, per = 4, 4
     mesh = make_mesh({"data": 1, "graph": n_shards}, devices=jax.devices()[:n_shards])
     kw = dict(hidden_dim=32, depth=2, aggregation=aggregation,
-              optimizer=optax.sgd(1e-2))
+              optimizer=optax.sgd(1e-2), layout="flat")
     model_sharded = build_dmpnn(graph_axis="graph", partition="molecule", **kw)
     model_single = build_dmpnn(**kw)
     trainer = SpmdTrainer(model_sharded, mesh, data_axis="data", graph_axis="graph")
@@ -295,7 +295,7 @@ def test_edge_partition_replicate_multi_shard(n_shards):
         hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), graph_axis="graph",
         partition="replicate",
     )
-    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+    model_single = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), layout="flat")
     trainer = SpmdTrainer(model_sharded, mesh, data_axis="data", graph_axis="graph")
 
     groups = _groups(1, per)
@@ -339,7 +339,7 @@ def test_edge_partition_replicate_multi_shard(n_shards):
 def test_spmd_eval_step_matches_single_device():
     n_data, per = 2, 2
     mesh = make_mesh({"data": n_data}, devices=jax.devices()[:n_data])
-    model = build_dmpnn(hidden_dim=16, depth=1)
+    model = build_dmpnn(hidden_dim=16, depth=1, layout="flat")
     trainer = SpmdTrainer(model, mesh, data_axis="data")
 
     groups = _groups(n_data, per)
@@ -522,7 +522,7 @@ def test_spmd_multi_step_dispatch_matches_single_steps():
         ]
 
     def fresh():
-        model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2))
+        model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.sgd(1e-2), layout="flat")
         trainer = SpmdTrainer(model, mesh, data_axis="data")
         state = trainer.init(jax.random.PRNGKey(0), batches()[0])
         return trainer, state

@@ -127,7 +127,7 @@ class TestCountWeightedEvaluate:
         rng = np.random.default_rng(0)
         y = rng.normal(size=(len(smis), 1)).astype(np.float32)
 
-        model = build_dmpnn(hidden_dim=16, depth=1, optimizer=optax.sgd(1e-3))
+        model = build_dmpnn(hidden_dim=16, depth=1, optimizer=optax.sgd(1e-3), layout="flat")
 
         def make_batch(gs, ys):
             bg = pad_graphs(gs, 64, 128, graph_cap=len(gs))
@@ -167,7 +167,7 @@ class TestCountWeightedEvaluate:
             "targets.y": jnp.asarray(y),
             "targets.y_mask": jnp.ones_like(y, bool),
         }
-        model = build_dmpnn(hidden_dim=16, depth=1, optimizer=optax.sgd(1e-3))
+        model = build_dmpnn(hidden_dim=16, depth=1, optimizer=optax.sgd(1e-3), layout="flat")
         state = model.init(jax.random.PRNGKey(0), batch)
         results = evaluate(model, state.params, [batch])
         assert not any(k.startswith("_count/") for k in results)

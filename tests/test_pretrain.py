@@ -66,7 +66,7 @@ def test_fit_resume(tmp_path, smis):
         transforms={"g": TransformManager(PIPE, in_key="smiles")},
         targets={"y": TargetSpec(columns=["y"])},
     )
-    model = build_dmpnn(hidden_dim=16, depth=1, optimizer=optax.adam(1e-3))
+    model = build_dmpnn(hidden_dim=16, depth=1, optimizer=optax.adam(1e-3), layout="flat")
     loader = DataLoader(ds, batch_size=16)
     ckpt = Checkpointer(tmp_path / "ck")
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))

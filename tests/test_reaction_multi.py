@@ -79,6 +79,7 @@ def test_reaction_overfit(rxns):
         num_node_types=tf.num_node_types,
         num_edge_types=tf.num_edge_types,
         optimizer=optax.adam(5e-3),
+        layout="flat",
     )
     loader = DataLoader(ds, batch_size=8)
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))

@@ -31,7 +31,7 @@ def _run(task, targets, **model_kw):
     transforms["y"]["preds"]["key"] = "ffn.preds"
     model = build_dmpnn(
         task=task, transforms=transforms, hidden_dim=16, depth=1,
-        optimizer=optax.adam(1e-3), **model_kw,
+        optimizer=optax.adam(1e-3), layout="flat", **model_kw,
     )
     loader = DataLoader(ds, batch_size=8)
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
