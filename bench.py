@@ -103,6 +103,34 @@ def _arm_watchdog(seconds: int = 2400) -> None:
     t.start()
 
 
+def _roofline_seconds(prepped, d: int, depth: int, device_kind: str,
+                      train: bool = False) -> float:
+    """Lower-bound seconds per fused-block invocation from the HBM and MXU
+    rooflines, at the ACTUAL padded shapes. Forward: read h0 + write h once,
+    2 matmuls/layer ([BE,d]@[d,d] and per-mol [E,E]@[E,d]). Train
+    (recompute backward) adds ~2 more E-tensor trips and ~4.7 matmuls/layer.
+    Returns max(t_mem, t_mxu)."""
+    kind = device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5litepod" in kind:
+        hbm_bw, mxu = 819e9, 197e12  # bf16 matmul peak
+    elif "v5p" in kind or "v5" in kind:
+        hbm_bw, mxu = 2765e9, 459e12
+    elif "v4" in kind:
+        hbm_bw, mxu = 1228e9, 275e12
+    else:  # unknown (incl. CPU smoke) — v5e numbers as the stated reference
+        hbm_bw, mxu = 819e9, 197e12
+    bytes_total = 0.0
+    flops = 0.0
+    for h0, src, dst, emask, V_g in prepped:
+        B, E, _ = h0.shape
+        trips = 4 if train else 2  # E-tensor HBM round trips (f32)
+        bytes_total += trips * B * E * d * 4
+        per_layer = 2 * B * E * d * d + 2 * B * E * E * d
+        mults = (2 + 2 * (depth - 1) / depth + 3) if train else 2
+        flops += depth * per_layer * (mults / 2)
+    return max(bytes_total / hbm_bw, flops / mxu)
+
+
 def main() -> None:
     import csv
     import os
@@ -114,7 +142,10 @@ def main() -> None:
 
     from notorch_tpu.data.dense import pad_graphs_dense
     from notorch_tpu.data.graph import pad_graphs
-    from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
+    from notorch_tpu.kernels.dense_mpnn import (
+        fused_dense_mpnn_block,
+        fused_dense_mpnn_block_trainable_fast,
+    )
     from notorch_tpu.nn.chemprop import ChempropBlock
     from notorch_tpu.nn.chemprop_dense import DenseChempropBlock, DenseGraphEmbedding
     from notorch_tpu.nn.embed import GraphEmbedding
@@ -188,8 +219,51 @@ def main() -> None:
 
         best, chain = _measure_chain(make_run)
         edges_per_sec = real_edges * depth * chain / best
+
+        # %-of-roofline at the measured padding mix (HBM/MXU lower bound)
+        kind = jax.devices()[0].device_kind
+        t_sol = _roofline_seconds(prepped, hidden, depth, kind)
+        pct_of_roofline = round(100.0 * t_sol / (best / chain), 1)
+
+        # training-step rate: fwd+bwd through value_and_grad on the same
+        # size-sorted groups (the production backward, Pallas recompute)
+        def make_train(chain):
+            @jax.jit
+            def run(Ws, bs):
+                acc = jnp.zeros((), jnp.float32)
+                for h0, src, dst, emask, V_g in prepped:
+                    def step(h, _, src=src, dst=dst, emask=emask, V_g=V_g):
+                        def loss(h):
+                            out = fused_dense_mpnn_block_trainable_fast(
+                                h, src, dst, emask, Ws, bs,
+                                depth, V_g, True, 8, False, None,
+                            )
+                            return jnp.sum(out * out)
+
+                        g = jax.grad(loss)(h)
+                        return g * jax.lax.rsqrt(jnp.mean(g * g) + 1e-12), ()
+
+                    hN, _ = jax.lax.scan(step, h0, None, length=chain)
+                    acc += jnp.sum(hN.astype(jnp.float32))
+                return acc
+
+            return lambda: run(Ws, bs)
+
+        try:
+            tbest, tchain = _measure_chain(make_train)
+            train_edges_per_sec = round(real_edges * depth * tchain / tbest, 1)
+            t_sol_train = _roofline_seconds(prepped, hidden, depth, kind, train=True)
+            train_pct_of_roofline = round(
+                100.0 * t_sol_train / (tbest / tchain), 1
+            )
+        except Exception:
+            train_edges_per_sec = None
+            train_pct_of_roofline = None
     except Exception:
         edges_per_sec = None
+        pct_of_roofline = None
+        train_edges_per_sec = None
+        train_pct_of_roofline = None
 
     if edges_per_sec is None:
         # fallback: flat XLA segment path
@@ -216,6 +290,9 @@ def main() -> None:
 
         best, chain = _measure_chain(make_run)
         edges_per_sec = real_edges * depth * chain / best
+        pct_of_roofline = None
+        train_edges_per_sec = None
+        train_pct_of_roofline = None
 
     # flat padded batch reused for the torch baseline topology
     total_v = sum(g.num_nodes for g in graphs) + 1
@@ -231,6 +308,13 @@ def main() -> None:
                 "value": round(edges_per_sec, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_sec / baseline, 3),
+                # training is the product: fwd+bwd through value_and_grad
+                # on the same size-sorted batches (Pallas recompute backward)
+                "train_step_edges_per_sec": train_edges_per_sec,
+                # %-of-HBM/MXU-roofline at the measured padding mix — the
+                # north star "speed-of-light per chip" as a number
+                "pct_of_roofline": pct_of_roofline,
+                "train_pct_of_roofline": train_pct_of_roofline,
             }
         )
     )
