@@ -108,8 +108,8 @@ def _roofline_seconds(prepped, d: int, depth: int, device_kind: str,
     """Lower-bound seconds per fused-block invocation from the HBM and MXU
     rooflines, at the ACTUAL padded shapes. Forward: read h0 + write h once,
     2 matmuls/layer ([BE,d]@[d,d] and per-mol [E,E]@[E,d]). Train
-    (recompute backward) adds ~2 more E-tensor trips and ~4.7 matmuls/layer.
-    Returns max(t_mem, t_mxu)."""
+    (residual-stash backward) adds 2*depth stash trips + read g + write gh
+    and 3 more matmuls/layer. Returns max(t_mem, t_mxu)."""
     kind = device_kind.lower()
     if "v5 lite" in kind or "v5e" in kind or "v5litepod" in kind:
         hbm_bw, mxu = 819e9, 197e12  # bf16 matmul peak
@@ -123,10 +123,10 @@ def _roofline_seconds(prepped, d: int, depth: int, device_kind: str,
     flops = 0.0
     for h0, src, dst, emask, V_g in prepped:
         B, E, _ = h0.shape
-        trips = 4 if train else 2  # E-tensor HBM round trips (f32)
+        trips = (2 * depth + 4) if train else 2  # E-tensor HBM round trips (f32)
         bytes_total += trips * B * E * d * 4
         per_layer = 2 * B * E * d * d + 2 * B * E * E * d
-        mults = (2 + 2 * (depth - 1) / depth + 3) if train else 2
+        mults = 5 if train else 2
         flops += depth * per_layer * (mults / 2)
     return max(bytes_total / hbm_bw, flops / mxu)
 
@@ -144,7 +144,7 @@ def main() -> None:
     from notorch_tpu.data.graph import pad_graphs
     from notorch_tpu.kernels.dense_mpnn import (
         fused_dense_mpnn_block,
-        fused_dense_mpnn_block_trainable_fast,
+        fused_dense_mpnn_block_trainable_stash,
     )
     from notorch_tpu.nn.chemprop import ChempropBlock
     from notorch_tpu.nn.chemprop_dense import DenseChempropBlock, DenseGraphEmbedding
@@ -226,7 +226,7 @@ def main() -> None:
         pct_of_roofline = round(100.0 * t_sol / (best / chain), 1)
 
         # training-step rate: fwd+bwd through value_and_grad on the same
-        # size-sorted groups (the production backward, Pallas recompute)
+        # size-sorted groups (the production backward: Pallas residual-stash)
         def make_train(chain):
             @jax.jit
             def run(Ws, bs):
@@ -234,7 +234,7 @@ def main() -> None:
                 for h0, src, dst, emask, V_g in prepped:
                     def step(h, _, src=src, dst=dst, emask=emask, V_g=V_g):
                         def loss(h):
-                            out = fused_dense_mpnn_block_trainable_fast(
+                            out = fused_dense_mpnn_block_trainable_stash(
                                 h, src, dst, emask, Ws, bs,
                                 depth, V_g, True, 8, False, None,
                             )

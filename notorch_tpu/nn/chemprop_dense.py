@@ -190,11 +190,13 @@ class FusedDenseChempropBlock(nn.Module):
     bias: bool = True
     mols_per_tile: int = 8
     # backward pass strategy:
-    #   "recompute" — Pallas backward, per-tile forward replay in VMEM
     #   "stash"     — Pallas backward reading per-layer residuals the forward
-    #                 stashed to HBM (no recompute; more HBM traffic)
+    #                 stashed to HBM (no recompute; more HBM traffic) —
+    #                 measured fastest on v5e (146.7M vs 127.2M edge-layers/s
+    #                 for recompute, sorted groups; scripts/bench_train_step.py)
+    #   "recompute" — Pallas backward, per-tile forward replay in VMEM
     #   "jnp"       — jnp recompute backward (debug/fallback)
-    backward: str = "recompute"
+    backward: str = "stash"
     # cast MXU operands inside the kernels (e.g. "bfloat16"); state stays f32
     matmul_dtype: str | None = None
 

@@ -119,6 +119,12 @@ def bench_block_level(graphs, results: list, backwards: list[str],
     }
 
     # --- gradient parity gate (vs the jnp backward) on a small slice -------
+    # Run under highest matmul precision: at the TPU default (bf16
+    # multiplies) a recomputed h_in can land on the other side of the ReLU
+    # threshold for entries with |h| ~ bf16 noise, flipping single gradient
+    # entries — an O(1) max-rel outlier that is NOT a kernel bug. Highest
+    # precision removes the flips; the norm check below is the robust
+    # metric either way.
     h0, src, dst, emask, V_g = prep(graphs[:8])
 
     def gradset(fn):
@@ -128,13 +134,17 @@ def bench_block_level(graphs, results: list, backwards: list[str],
 
         return jax.grad(loss, argnums=(0, 1))(h0, Ws)
 
-    ref_g = gradset(fns["jnp"])
-    for name in ("recompute", "stash"):
-        got = gradset(fns[name])
-        for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got)):
-            rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
-            if rel > 5e-3:
-                raise RuntimeError(f"grad mismatch {name}: rel={rel}")
+    with jax.default_matmul_precision("highest"):
+        ref_g = gradset(fns["jnp"])
+        for name in ("recompute", "stash"):
+            got = gradset(fns[name])
+            for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got)):
+                rel = float(
+                    jnp.linalg.norm((a - b).ravel())
+                    / (jnp.linalg.norm(a.ravel()) + 1e-9)
+                )
+                if rel > 1e-3:
+                    raise RuntimeError(f"grad mismatch {name}: rel_l2={rel}")
     print(json.dumps({"check": "grad_parity", "ok": True}), flush=True)
 
     # --- prepare batches: single max-padded + 8 size-sorted groups ---------

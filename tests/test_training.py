@@ -135,6 +135,54 @@ def test_lipo_rmse(lipo_rows):
     assert rmse <= 0.8, f"lipo RMSE {rmse:.3f} > 0.8"
 
 
+@pytest.mark.long
+def test_lipo_rmse_scaffold(lipo_rows):
+    """Scaffold-split accuracy gate on the largest obtainable REAL dataset
+    (BASELINE.md round-2 statement: ESOL/Tox21/QM9 CSVs are unobtainable in
+    this zero-egress environment). Scaffold split is the harder, Tox21-style
+    generalization protocol: whole Bemis-Murcko scaffolds held out
+    (notorch_tpu/data/splits.py). Measured 0.800 (seed 0) / 0.848 (seed 1)
+    with the same 30-epoch recipe as the random-split gate; bar 0.85."""
+    import optax
+
+    from notorch_tpu.data.splits import scaffold_split
+    from notorch_tpu.training.schedulers import noam_like_schedule
+
+    smis = [r[0] for r in lipo_rows]
+    ys = [r[1] for r in lipo_rows]
+    ds = _dataset(smis, ys)
+    train_idx, _, test_idx = scaffold_split(smis, (0.8, 0.1, 0.1), seed=0)
+    train, test = Subset(ds, train_idx), Subset(ds, test_idx)
+
+    transforms = train.build_task_transform_configs()
+    transforms["y"]["preds"]["key"] = "ffn.preds"
+
+    epochs = 30
+    batch_size = 64
+    steps_per_epoch = -(-len(train) // batch_size)
+    sched = noam_like_schedule(
+        warmup_steps=2 * steps_per_epoch,
+        cooldown_steps=(epochs - 2) * steps_per_epoch,
+        init_lr=1e-4,
+        max_lr=1e-3,
+        final_lr=1e-4,
+    )
+    model = build_dmpnn(
+        hidden_dim=256, depth=3, transforms=transforms, optimizer=optax.adam(sched),
+        layout="flat",  # the CPU-fast path; the fused default is gated on-chip
+    )
+
+    train_loader = DataLoader(train, batch_size=batch_size, shuffle=True, seed=0)
+    test_loader = DataLoader(test, batch_size=batch_size)
+    state = model.init(jax.random.PRNGKey(0), next(iter(train_loader)))
+    result = fit(model, state, train_loader, epochs=epochs)
+
+    logs = evaluate(model, result.state.params, test_loader)
+    std = transforms["y"]["targets"]["module"].scale[0]
+    rmse = logs["val/rmse"] * std
+    assert rmse <= 0.85, f"scaffold lipo RMSE {rmse:.3f} > 0.85"
+
+
 def test_training_determinism(tiny):
     """Same seed => bit-identical training trajectory (reproducibility)."""
     import optax
