@@ -108,8 +108,9 @@ def _roofline_seconds(prepped, d: int, depth: int, device_kind: str,
     """Lower-bound seconds per fused-block invocation from the HBM and MXU
     rooflines, at the ACTUAL padded shapes. Forward: read h0 + write h once,
     2 matmuls/layer ([BE,d]@[d,d] and per-mol [E,E]@[E,d]). Train
-    (residual-stash backward) adds 2*depth stash trips + read g + write gh
-    and 3 more matmuls/layer. Returns max(t_mem, t_mxu)."""
+    (residual-stash backward; h0 never duplicated into the stash) adds
+    2*(depth-1) stash trips + bwd re-read of h0 + read g + write gh and
+    3 more matmuls/layer. Returns max(t_mem, t_mxu)."""
     kind = device_kind.lower()
     if "v5 lite" in kind or "v5e" in kind or "v5litepod" in kind:
         hbm_bw, mxu = 819e9, 197e12  # bf16 matmul peak
@@ -123,7 +124,7 @@ def _roofline_seconds(prepped, d: int, depth: int, device_kind: str,
     flops = 0.0
     for h0, src, dst, emask, V_g in prepped:
         B, E, _ = h0.shape
-        trips = (2 * depth + 4) if train else 2  # E-tensor HBM round trips (f32)
+        trips = (2 * depth + 3) if train else 2  # E-tensor HBM round trips (f32)
         bytes_total += trips * B * E * d * 4
         per_layer = 2 * B * E * d * d + 2 * B * E * E * d
         mults = 5 if train else 2

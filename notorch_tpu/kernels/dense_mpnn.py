@@ -241,17 +241,23 @@ def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
 # -- residual-stash variant ---------------------------------------------------
 #
 # The recompute backward spends 2(depth-1) matmuls per tile replaying the
-# forward. This variant's FORWARD also writes each layer's input hiddens
-# (h0..h_{depth-1}) to HBM; the backward reads them back instead of
-# recomputing — trading depth extra [B, E, d] HBM round-trips for
-# 2(depth-1) matmuls per tile. Which wins depends on where the kernel sits
-# on the roofline; both are exposed and measured (scripts/exp_train_step.py).
+# forward. This variant's FORWARD also writes each HIDDEN layer's input
+# (h1..h_{depth-1}) to HBM; the backward reads them back instead of
+# recomputing — trading depth-1 extra [B, E, d] HBM round-trips for
+# 2(depth-1) matmuls per tile. h0 is NOT stashed: it is already resident in
+# HBM as the kernel input, so the backward reads the input tile directly
+# (saves one full E-tensor write per step). ``stash_dtype="bfloat16"``
+# halves the residual traffic further: the stash is cast on write and cast
+# back to the compute dtype on read (gradients then carry ~bf16 rounding in
+# the ReLU mask/weight-grad operand — opt-in, f32 default is exact). Which
+# variant wins depends on where the kernel sits on the roofline; all are
+# exposed and measured (scripts/bench_train_step.py).
 
 
 def _block_kernel_stash(
     src_ref, dst_ref, emask_ref, h_ref, w_ref, b_ref,
     out_ref,  # [NB, E, d]
-    hs_ref,  # [depth, NB, E, d] — layer INPUTS
+    hs_ref,  # [depth-1, NB, E, d] — HIDDEN layer inputs h1..h_{depth-1}
     *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
 ):
     i = pl.program_id(0)
@@ -271,7 +277,8 @@ def _block_kernel_stash(
         return swapped.reshape(NB, E, d)
 
     for layer_idx in range(depth):
-        hs_ref[layer_idx] = h
+        if layer_idx > 0:  # h0 is the kernel input — never re-stashed
+            hs_ref[layer_idx - 1] = h.astype(hs_ref.dtype)
         m = jnp.maximum(h, 0.0)
         mW = (
             jax.lax.dot_general(
@@ -297,7 +304,8 @@ def _block_kernel_stash(
 
 def _bwd_kernel_stash(
     src_ref, dst_ref, emask_ref,
-    hs_ref,  # [depth, NB, E, d] stashed layer inputs
+    h0_ref,  # [NB, E, d] the original kernel input (layer-0 input)
+    hs_ref,  # [depth-1, NB, E, d] stashed hidden-layer inputs h1..h_{depth-1}
     w_ref, g_ref,
     gh_ref, gw_ref, gb_ref,
     *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
@@ -326,7 +334,8 @@ def _bwd_kernel_stash(
 
     g = g_ref[:]
     for l in reversed(range(depth)):
-        h_in = hs_ref[l]
+        # compare/multiply in the compute dtype (bf16 stash is cast back)
+        h_in = (h0_ref[:] if l == 0 else hs_ref[l - 1]).astype(dt)
         m = jnp.maximum(h_in, 0.0)
         g_mW = jax.lax.dot_general(
             A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
@@ -352,21 +361,34 @@ def _bwd_kernel_stash(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret",
+        "matmul_dtype", "stash_dtype",
     ),
 )
 def fused_dense_mpnn_block_stash(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    stash_dtype: str | None = None,
 ):
-    """Forward that ALSO emits each layer's input hiddens.
-    Returns (out [B, E, d], hs [depth, B, E, d])."""
+    """Forward that ALSO emits each HIDDEN layer's input (h1..h_{depth-1};
+    h0 is the kernel input and is never duplicated).
+    Returns (out [B, E, d], hs [depth-1, B, E, d] or None when depth == 1).
+    ``stash_dtype`` stores the residuals down-cast (e.g. "bfloat16")."""
     B, E, d = edge_hiddens.shape
     NB = min(mols_per_tile, B)
     if B % NB != 0:
         raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
+    if depth == 1:  # nothing to stash — backward needs only h0
+        out = fused_dense_mpnn_block(
+            edge_hiddens, src, dst, edge_mask, weights, biases,
+            depth=depth, n_nodes=n_nodes, residual=residual,
+            mols_per_tile=mols_per_tile, interpret=interpret,
+            matmul_dtype=matmul_dtype,
+        )
+        return out, None
     emask = edge_mask.astype(jnp.float32)
+    sdt = edge_hiddens.dtype if stash_dtype is None else jnp.dtype(stash_dtype)
     kernel = functools.partial(
         _block_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
         residual=residual, mm_dtype=matmul_dtype,
@@ -385,11 +407,11 @@ def fused_dense_mpnn_block_stash(
         ],
         out_specs=[
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((depth, NB, E, d), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((depth - 1, NB, E, d), lambda i: (0, i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
-            jax.ShapeDtypeStruct((depth, B, E, d), edge_hiddens.dtype),
+            jax.ShapeDtypeStruct((depth - 1, B, E, d), sdt),
         ],
         interpret=interpret,
     )(src, dst, emask, edge_hiddens, weights, biases)
@@ -402,17 +424,25 @@ def fused_dense_mpnn_block_stash(
     ),
 )
 def fused_dense_mpnn_block_bwd_stash(
-    hs,  # [depth, B, E, d] stashed layer inputs
+    h0,  # [B, E, d] the forward's input (layer-0 input, read back from HBM)
+    hs,  # [depth-1, B, E, d] stashed hidden-layer inputs (None iff depth == 1)
     src, dst, edge_mask, weights, cotangent,
     *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
 ):
     """Pallas backward consuming stashed residuals (no forward recompute).
     Returns (g_h0, g_W, g_b)."""
-    _, B, E, d = hs.shape
+    B, E, d = h0.shape
     NB = min(mols_per_tile, B)
     if B % NB != 0:
         raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
+    if depth == 1:  # no stash exists; recompute backward does zero replay
+        return fused_dense_mpnn_block_bwd(
+            h0, src, dst, edge_mask, weights, cotangent,
+            depth=depth, n_nodes=n_nodes, residual=residual,
+            mols_per_tile=mols_per_tile, interpret=interpret,
+            matmul_dtype=matmul_dtype,
+        )
     emask = edge_mask.astype(jnp.float32)
     kernel = functools.partial(
         _bwd_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
@@ -426,7 +456,8 @@ def fused_dense_mpnn_block_bwd_stash(
             whole((B, E)),
             whole((B, E)),
             whole((B, E)),
-            pl.BlockSpec((depth, NB, E, d), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((depth - 1, NB, E, d), lambda i: (0, i, 0, 0)),
             whole(tuple(weights.shape)),
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
         ],
@@ -441,18 +472,21 @@ def fused_dense_mpnn_block_bwd_stash(
             jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
         ],
         interpret=interpret,
-    )(src, dst, emask, hs, weights, cotangent)
+    )(src, dst, emask, h0, hs, weights, cotangent)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_dense_mpnn_block_trainable_stash(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    stash_dtype: str | None = None,
 ):
     """Trainable fused block with the residual-stash backward: the forward
-    writes per-layer inputs to HBM, the backward reads them back (3 matmuls
-    per layer, no recompute)."""
+    writes hidden-layer inputs to HBM (h0 is never duplicated — the backward
+    reads the original input), the backward reads them back (3 matmuls per
+    layer, no recompute). ``stash_dtype="bfloat16"`` halves the stash
+    traffic at the cost of bf16 rounding in the recovered residuals."""
     return fused_dense_mpnn_block(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
@@ -462,21 +496,22 @@ def fused_dense_mpnn_block_trainable_stash(
 
 
 def _stash_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
-               depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype):
+               depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
+               stash_dtype):
     out, hs = fused_dense_mpnn_block_stash(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, stash_dtype=stash_dtype,
     )
-    return out, (hs, src, dst, edge_mask, weights)
+    return out, (edge_hiddens, hs, src, dst, edge_mask, weights)
 
 
 def _stash_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
-               res, g):
-    hs, src, dst, edge_mask, weights = res
+               stash_dtype, res, g):
+    h0, hs, src, dst, edge_mask, weights = res
     g_h0, g_W, g_b = fused_dense_mpnn_block_bwd_stash(
-        hs, src, dst, edge_mask, weights, g,
+        h0, hs, src, dst, edge_mask, weights, g,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
         matmul_dtype=matmul_dtype,
@@ -690,3 +725,362 @@ def fused_dense_mpnn_block(
 
 
 fused_dense_mpnn_block_trainable_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+# -- v3: whole-encoder fusion --------------------------------------------------
+#
+# The block kernel still leaves three XLA ops around itself per call: the
+# initial V->E gather (h0 = G @ node_feats + edge_feats), the final masked
+# E->V scatter (node_hiddens = S @ h), and the HBM materialization of the
+# [B, E, V] / [B, V, E] one-hot operators those einsums consume. This
+# variant moves BOTH ends into the kernel: the one-hots are built in
+# VMEM with a broadcast compare against an iota (never touching HBM), h0
+# lives only in registers/VMEM, and the kernel's HBM I/O shrinks to
+#   read node_feats + read edge_feats + write node_hiddens +
+#   write edge_hiddens (+ the depth-1 residual stash for training).
+# The backward recomputes h0 from (node_feats, edge_feats) — one matmul —
+# instead of stashing it, and emits gradients for BOTH feature inputs.
+
+
+def _encoder_body(
+    src_ref, dst_ref, emask_ref, nf_ref, ef_ref, w_ref, b_ref,
+    nh_ref, eh_ref, hs_ref,
+    *, depth: int, tile: int, residual: bool, mm_dtype,
+):
+    i = pl.program_id(0)
+    nf = nf_ref[:]
+    NB, V, d = nf.shape
+    E = ef_ref.shape[1]
+    row0 = i * tile
+    src = src_ref[pl.ds(row0, NB), :]
+    dst = dst_ref[pl.ds(row0, NB), :]
+    emask = emask_ref[pl.ds(row0, NB), :]
+    dt = ef_ref.dtype
+    mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
+
+    # gather one-hot G[e, v] = [src(e) == v] (unmasked — matches
+    # DenseBatchedGraph.gather_matrix), built in VMEM
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, V), 2)
+    G = jnp.where(src[:, :, None] == v_iota, 1.0, 0.0).astype(mm)
+    h = (
+        jax.lax.dot_general(
+            G, nf.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        + ef_ref[:]
+    )
+
+    A = _edge_adjacency(src, dst, emask, mm)
+
+    def pair_swap(x):
+        p = x.reshape(NB, E // 2, 2, d)
+        swapped = jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2)
+        return swapped.reshape(NB, E, d)
+
+    for layer_idx in range(depth):
+        if hs_ref is not None and layer_idx > 0:
+            hs_ref[layer_idx - 1] = h.astype(hs_ref.dtype)
+        m = jnp.maximum(h, 0.0)
+        mW = (
+            jax.lax.dot_general(
+                m.reshape(NB * E, d).astype(mm), w_ref[layer_idx].astype(mm),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            .astype(dt)
+            .reshape(NB, E, d)
+        )
+        out = (
+            jax.lax.dot_general(
+                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            - pair_swap(mW)
+            + b_ref[layer_idx][None, None, :]
+        )
+        h = h + out if residual else out
+
+    eh_ref[:] = h
+    # masked scatter one-hot, stored transposed: St[e, v] = [dst(e) == v and
+    # e real] (matches DenseBatchedGraph.scatter_matrix)
+    mask_ok = emask.astype(jnp.float32) > 0.0
+    St = jnp.where(
+        (dst[:, :, None] == v_iota) & mask_ok[:, :, None], 1.0, 0.0
+    ).astype(mm)
+    nh_ref[:] = jax.lax.dot_general(
+        St, h.astype(mm), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(nh_ref.dtype)
+
+
+def _encoder_kernel(src, dst, emask, nf, ef, w, b, nh, eh, **kw):
+    _encoder_body(src, dst, emask, nf, ef, w, b, nh, eh, None, **kw)
+
+
+def _encoder_kernel_stash(src, dst, emask, nf, ef, w, b, nh, eh, hs, **kw):
+    _encoder_body(src, dst, emask, nf, ef, w, b, nh, eh, hs, **kw)
+
+
+def _encoder_bwd_kernel(
+    src_ref, dst_ref, emask_ref, nf_ref, ef_ref, hs_ref, w_ref,
+    gn_ref, ge_ref,
+    gnf_ref, gef_ref, gw_ref, gb_ref,
+    *, depth: int, tile: int, residual: bool, mm_dtype,
+):
+    i = pl.program_id(0)
+    nf = nf_ref[:]
+    NB, V, d = nf.shape
+    E = ge_ref.shape[1]
+    row0 = i * tile
+    src = src_ref[pl.ds(row0, NB), :]
+    dst = dst_ref[pl.ds(row0, NB), :]
+    emask = emask_ref[pl.ds(row0, NB), :]
+    dt = ge_ref.dtype
+    mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
+
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, V), 2)
+    G = jnp.where(src[:, :, None] == v_iota, 1.0, 0.0).astype(mm)
+    mask_ok = emask.astype(jnp.float32) > 0.0
+    St = jnp.where(
+        (dst[:, :, None] == v_iota) & mask_ok[:, :, None], 1.0, 0.0
+    ).astype(mm)
+    A = _edge_adjacency(src, dst, emask, mm)
+
+    def pair_swap(x):
+        p = x.reshape(NB, E // 2, 2, d)
+        return jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2).reshape(
+            NB, E, d
+        )
+
+    @pl.when(i == 0)
+    def _init():
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+        gb_ref[:] = jnp.zeros_like(gb_ref)
+
+    # h0 is recomputed (one matmul) rather than stashed: cheaper than an
+    # extra write+read of a full edge tensor
+    h0 = (
+        jax.lax.dot_general(
+            G, nf.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        + ef_ref[:]
+    )
+
+    # cotangent on the final edge hiddens: the scatter's VJP folds in here
+    # (g_h += St @ g_node along V)
+    g = ge_ref[:] + jax.lax.dot_general(
+        St, gn_ref[:].astype(mm), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+
+    for l in reversed(range(depth)):
+        h_in = (h0 if l == 0 else hs_ref[l - 1]).astype(dt)
+        m = jnp.maximum(h_in, 0.0)
+        g_mW = jax.lax.dot_general(
+            A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt) - pair_swap(g)
+        gw_ref[l] += jax.lax.dot_general(
+            m.reshape(NB * E, d).astype(mm), g_mW.reshape(NB * E, d).astype(mm),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(gw_ref.dtype)
+        gb_ref[l] += jnp.sum(g.reshape(NB * E, d), axis=0).astype(gb_ref.dtype)
+        g_m = jax.lax.dot_general(
+            g_mW.reshape(NB * E, d).astype(mm), w_ref[l].astype(mm),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dt).reshape(NB, E, d)
+        g_h = g_m * jnp.where(h_in > 0, 1.0, 0.0).astype(dt)
+        g = g_h + g if residual else g_h
+
+    gef_ref[:] = g
+    # gather's VJP: g_node_feats[v] = sum_e [src(e) == v] g_h0[e]
+    gnf_ref[:] = jax.lax.dot_general(
+        G, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(gnf_ref.dtype)
+
+
+def _encoder_bwd_kernel_d1(
+    src_ref, dst_ref, emask_ref, nf_ref, ef_ref, w_ref,
+    gn_ref, ge_ref, gnf_ref, gef_ref, gw_ref, gb_ref,
+    *, depth: int, tile: int, residual: bool, mm_dtype,
+):
+    _encoder_bwd_kernel(
+        src_ref, dst_ref, emask_ref, nf_ref, ef_ref, None, w_ref,
+        gn_ref, ge_ref, gnf_ref, gef_ref, gw_ref, gb_ref,
+        depth=depth, tile=tile, residual=residual, mm_dtype=mm_dtype,
+    )
+
+
+def _encoder_tile(mols_per_tile: int, B: int) -> int:
+    NB = min(mols_per_tile, B)
+    if B % NB != 0:
+        raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
+    return NB
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "residual", "mols_per_tile", "interpret", "matmul_dtype",
+        "stash_dtype", "stash",
+    ),
+)
+def fused_dense_encoder_fwd(
+    node_feats, edge_feats, src, dst, edge_mask, weights, biases,
+    *, depth: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+    stash_dtype: str | None = None, stash: bool = False,
+):
+    """One-kernel encoder: gather + depth-D block + masked scatter.
+    Returns (node_hiddens [B, V, d], edge_hiddens [B, E, d], hs) where hs is
+    the [depth-1, B, E, d] residual stash when ``stash`` (None otherwise)."""
+    B, V, d = node_feats.shape
+    E = edge_feats.shape[1]
+    NB = _encoder_tile(mols_per_tile, B)
+    emask = edge_mask.astype(jnp.float32)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    want_stash = stash and depth > 1
+    kernel = functools.partial(
+        _encoder_kernel_stash if want_stash else _encoder_kernel,
+        depth=depth, tile=NB, residual=residual, mm_dtype=matmul_dtype,
+    )
+    out_specs = [
+        pl.BlockSpec((NB, V, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, V, d), node_feats.dtype),
+        jax.ShapeDtypeStruct((B, E, d), edge_feats.dtype),
+    ]
+    if want_stash:
+        sdt = edge_feats.dtype if stash_dtype is None else jnp.dtype(stash_dtype)
+        out_specs.append(pl.BlockSpec((depth - 1, NB, E, d), lambda i: (0, i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((depth - 1, B, E, d), sdt))
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // NB,),
+        in_specs=[
+            whole((B, E)),
+            whole((B, E)),
+            whole((B, E)),
+            pl.BlockSpec((NB, V, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            whole(tuple(biases.shape)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(src, dst, emask, node_feats, edge_feats, weights, biases)
+    if want_stash:
+        return res[0], res[1], res[2]
+    return res[0], res[1], None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "residual", "mols_per_tile", "interpret", "matmul_dtype"),
+)
+def fused_dense_encoder_bwd(
+    node_feats, edge_feats, hs, src, dst, edge_mask, weights,
+    g_node, g_edge,
+    *, depth: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+):
+    """Pallas backward of the whole-encoder kernel.
+    Returns (g_node_feats, g_edge_feats, g_W, g_b)."""
+    B, V, d = node_feats.shape
+    E = edge_feats.shape[1]
+    NB = _encoder_tile(mols_per_tile, B)
+    emask = edge_mask.astype(jnp.float32)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    in_specs = [
+        whole((B, E)),
+        whole((B, E)),
+        whole((B, E)),
+        pl.BlockSpec((NB, V, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+    ]
+    operands = [src, dst, emask, node_feats, edge_feats]
+    if depth > 1:
+        in_specs.append(pl.BlockSpec((depth - 1, NB, E, d), lambda i: (0, i, 0, 0)))
+        operands.append(hs)
+        kernel_fn = _encoder_bwd_kernel
+    else:
+        kernel_fn = _encoder_bwd_kernel_d1
+    in_specs += [
+        whole(tuple(weights.shape)),
+        pl.BlockSpec((NB, V, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+    ]
+    operands += [weights, g_node, g_edge]
+    kernel = functools.partial(
+        kernel_fn, depth=depth, tile=NB, residual=residual, mm_dtype=matmul_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // NB,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((NB, V, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
+            whole(tuple(weights.shape)),
+            whole((weights.shape[0], d)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, V, d), node_feats.dtype),
+            jax.ShapeDtypeStruct((B, E, d), edge_feats.dtype),
+            jax.ShapeDtypeStruct(tuple(weights.shape), weights.dtype),
+            jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def fused_dense_encoder(
+    node_feats, edge_feats, src, dst, edge_mask, weights, biases,
+    depth: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+    stash_dtype: str | None = None,
+):
+    """Trainable whole-encoder fusion: (node_feats, edge_feats) ->
+    (node_hiddens, edge_hiddens) in ONE Pallas kernel each way. The forward
+    stashes hidden-layer inputs (h1..h_{depth-1}) for the backward; h0 is
+    recomputed from the feature inputs (one matmul) rather than stashed."""
+    nh, eh, _ = fused_dense_encoder_fwd(
+        node_feats, edge_feats, src, dst, edge_mask, weights, biases,
+        depth=depth, residual=residual, mols_per_tile=mols_per_tile,
+        interpret=interpret, matmul_dtype=matmul_dtype, stash=False,
+    )
+    return nh, eh
+
+
+def _enc_fwd(node_feats, edge_feats, src, dst, edge_mask, weights, biases,
+             depth, residual, mols_per_tile, interpret, matmul_dtype, stash_dtype):
+    nh, eh, hs = fused_dense_encoder_fwd(
+        node_feats, edge_feats, src, dst, edge_mask, weights, biases,
+        depth=depth, residual=residual, mols_per_tile=mols_per_tile,
+        interpret=interpret, matmul_dtype=matmul_dtype,
+        stash_dtype=stash_dtype, stash=True,
+    )
+    return (nh, eh), (node_feats, edge_feats, hs, src, dst, edge_mask, weights)
+
+
+def _enc_bwd(depth, residual, mols_per_tile, interpret, matmul_dtype, stash_dtype,
+             res, gs):
+    node_feats, edge_feats, hs, src, dst, edge_mask, weights = res
+    g_node, g_edge = gs
+    g_nf, g_ef, g_W, g_b = fused_dense_encoder_bwd(
+        node_feats, edge_feats, hs, src, dst, edge_mask, weights, g_node, g_edge,
+        depth=depth, residual=residual, mols_per_tile=mols_per_tile,
+        interpret=interpret, matmul_dtype=matmul_dtype,
+    )
+    return g_nf, g_ef, None, None, None, g_W, g_b
+
+
+fused_dense_encoder.defvjp(_enc_fwd, _enc_bwd)

@@ -199,10 +199,20 @@ class FusedDenseChempropBlock(nn.Module):
     backward: str = "stash"
     # cast MXU operands inside the kernels (e.g. "bfloat16"); state stays f32
     matmul_dtype: str | None = None
+    # store the stash backward's HBM residuals down-cast (e.g. "bfloat16"):
+    # halves the residual traffic; gradients pick up ~bf16 rounding in the
+    # ReLU mask / weight-grad operand. None (f32) is exact.
+    stash_dtype: str | None = None
+    # fuse the surrounding gather/scatter into the kernel (the v3
+    # whole-encoder kernel): the [B,E,V]/[B,V,E] one-hot operators are
+    # built in VMEM instead of HBM and h0 never round-trips. Only the
+    # "stash" backward supports it.
+    fuse_ends: bool = False
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
         from notorch_tpu.kernels.dense_mpnn import (
+            fused_dense_encoder,
             fused_dense_mpnn_block_trainable,
             fused_dense_mpnn_block_trainable_fast,
             fused_dense_mpnn_block_trainable_stash,
@@ -215,25 +225,37 @@ class FusedDenseChempropBlock(nn.Module):
         Ws = jnp.stack([k for k, _ in per_layer])
         bs = jnp.stack([b for _, b in per_layer])
 
+        B = G.node_feats.shape[0]
+        tile = self.mols_per_tile
+        while B % tile != 0:
+            tile //= 2
+        interpret = jax.default_backend() != "tpu"
+
+        if self.fuse_ends:
+            if self.backward != "stash":
+                raise ValueError("fuse_ends requires backward='stash'")
+            node_hiddens, edge_hiddens = fused_dense_encoder(
+                G.node_feats, G.edge_feats, G.src, G.dst, G.edge_mask, Ws, bs,
+                self.depth, self.residual, max(tile, 1), interpret,
+                self.matmul_dtype, self.stash_dtype,
+            )
+            return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
+
         Gm = G.gather_matrix(G.node_feats.dtype)
         h0 = (
             jnp.einsum("bev,bvd->bed", Gm, G.node_feats).astype(G.edge_feats.dtype)
             + G.edge_feats
         )
-        B = h0.shape[0]
-        tile = self.mols_per_tile
-        while B % tile != 0:
-            tile //= 2
-        interpret = jax.default_backend() != "tpu"
         fn = {
             "recompute": fused_dense_mpnn_block_trainable_fast,
             "stash": fused_dense_mpnn_block_trainable_stash,
             "jnp": fused_dense_mpnn_block_trainable,
         }[self.backward]
+        extra = (self.stash_dtype,) if self.backward == "stash" else ()
         edge_hiddens = fn(
             h0, G.src, G.dst, G.edge_mask, Ws, bs,
             self.depth, G.nodes_per_graph, self.residual, max(tile, 1), interpret,
-            self.matmul_dtype,
+            self.matmul_dtype, *extra,
         )
         S = G.scatter_matrix(edge_hiddens.dtype)
         node_hiddens = jnp.einsum("bve,bed->bvd", S, edge_hiddens)

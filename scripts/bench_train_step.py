@@ -112,10 +112,17 @@ def bench_block_level(graphs, results: list, backwards: list[str],
     Ws = jnp.stack([bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)])
     bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
 
+    def _stash_bf16(h, src, dst, emask, W, b, depth, V_g, res, tile, interp, mm):
+        return fused_dense_mpnn_block_trainable_stash(
+            h, src, dst, emask, W, b, depth, V_g, res, tile, interp, mm,
+            "bfloat16",
+        )
+
     fns = {
         "jnp": fused_dense_mpnn_block_trainable,
         "recompute": fused_dense_mpnn_block_trainable_fast,
         "stash": fused_dense_mpnn_block_trainable_stash,
+        "stash_bf16": _stash_bf16,  # residuals stored bf16 (half the traffic)
     }
 
     # --- gradient parity gate (vs the jnp backward) on a small slice -------
@@ -136,14 +143,17 @@ def bench_block_level(graphs, results: list, backwards: list[str],
 
     with jax.default_matmul_precision("highest"):
         ref_g = gradset(fns["jnp"])
-        for name in ("recompute", "stash"):
+        # stash_bf16 deliberately rounds the stored residuals to bf16, so its
+        # gate is the bf16-rounding budget, not exactness
+        for name, bar in (("recompute", 1e-3), ("stash", 1e-3),
+                          ("stash_bf16", 2e-2)):
             got = gradset(fns[name])
             for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got)):
                 rel = float(
                     jnp.linalg.norm((a - b).ravel())
                     / (jnp.linalg.norm(a.ravel()) + 1e-9)
                 )
-                if rel > 1e-3:
+                if rel > bar:
                     raise RuntimeError(f"grad mismatch {name}: rel_l2={rel}")
     print(json.dumps({"check": "grad_parity", "ok": True}), flush=True)
 
@@ -314,7 +324,7 @@ def main() -> None:
     parser.add_argument("--mols", type=int, default=512)
     args = parser.parse_args()
     backwards = (
-        ["recompute", "stash", "jnp"] if args.backward == "all"
+        ["recompute", "stash", "stash_bf16", "jnp"] if args.backward == "all"
         else args.backward.split(",")
     )
 

@@ -331,9 +331,10 @@ def test_stash_forward_and_grads_match():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5)
     hs_ref = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
-    for l in range(depth):  # stashed layer inputs h0..h_{depth-1}
+    assert hs.shape[0] == depth - 1  # h0 is never duplicated into the stash
+    for l in range(1, depth):  # stashed hidden-layer inputs h1..h_{depth-1}
         np.testing.assert_allclose(
-            np.asarray(hs[l]), np.asarray(hs_ref[l]), rtol=1e-4, atol=1e-4
+            np.asarray(hs[l - 1]), np.asarray(hs_ref[l]), rtol=1e-4, atol=1e-4
         )
 
     def loss_stash(h0, Ws, bs):
@@ -350,6 +351,126 @@ def test_stash_forward_and_grads_match():
     v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(h0, Ws, bs)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
     for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+    # bf16 stash: same gradients to bf16 rounding (the residuals the
+    # backward reads carry ~0.4% relative rounding)
+    def loss_bf16(h0, Ws, bs):
+        out = fused_dense_mpnn_block_trainable_stash(
+            h0, G.src, G.dst, G.edge_mask, Ws, bs, depth, 32, True, 2, True,
+            None, "bfloat16",
+        )
+        return ((out * emask) ** 2).sum()
+
+    v3, g3 = jax.value_and_grad(loss_bf16, argnums=(0, 1, 2))(h0, Ws, bs)
+    np.testing.assert_allclose(float(v3), float(v2), rtol=1e-4)
+    for a, b in zip(g3, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-2)
+
+    # depth == 1: nothing to stash; the variant must still be exact
+    def loss_stash_d1(h0, Ws, bs):
+        out = fused_dense_mpnn_block_trainable_stash(
+            h0, G.src, G.dst, G.edge_mask, Ws[:1], bs[:1], 1, 32, True, 2, True
+        )
+        return ((out * emask) ** 2).sum()
+
+    def loss_ref_d1(h0, Ws, bs):
+        hs = _jnp_forward_collect(h0, S, Gm, Ws[:1], bs[:1], 1, True)
+        return ((hs[-1] * emask) ** 2).sum()
+
+    v4, g4 = jax.value_and_grad(loss_stash_d1, argnums=(0, 1, 2))(h0, Ws, bs)
+    v5, g5 = jax.value_and_grad(loss_ref_d1, argnums=(0, 1, 2))(h0, Ws, bs)
+    np.testing.assert_allclose(float(v4), float(v5), rtol=1e-4)
+    for a, b in zip(g4, g5):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_encoder_kernel_forward_and_grads_match():
+    """v3 whole-encoder kernel (gather + block + scatter in one pallas_call):
+    node/edge outputs and gradients w.r.t. BOTH feature inputs and the
+    stacked weights match the jnp dense path."""
+    import pytest
+
+    from notorch_tpu.kernels.dense_mpnn import fused_dense_encoder
+
+    graphs = [PIPE(s) for s in SMIS]
+    d = 16
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(11)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    nmask = G.node_mask.astype(jnp.float32)[..., None]
+    emask = G.edge_mask.astype(jnp.float32)[..., None]
+
+    for depth in (1, 3):
+        block = DenseChempropBlock(hidden_dim=d, depth=depth)
+        bv = block.init(key, G)
+        Ws = jnp.stack(
+            [bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)]
+        )
+        bs = jnp.stack(
+            [bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)]
+        )
+
+        def loss_enc(nf, ef, Ws, bs, depth=depth):
+            nh, eh = fused_dense_encoder(
+                nf, ef, G.src, G.dst, G.edge_mask, Ws, bs,
+                depth, True, 2, True, None, None,
+            )
+            return ((nh * nmask) ** 2).sum() + ((eh * emask) ** 2).sum()
+
+        def loss_ref(nf, ef, Ws, bs, depth=depth, block=block):
+            params = {
+                f"layer_{i}": {"update": {"kernel": Ws[i], "bias": bs[i]}}
+                for i in range(depth)
+            }
+            out = block.apply(
+                {"params": params}, G.update(node_feats=nf, edge_feats=ef)
+            )
+            return ((out.node_feats * nmask) ** 2).sum() + (
+                (out.edge_feats * emask) ** 2
+            ).sum()
+
+        args = (G.node_feats, G.edge_feats, Ws, bs)
+        v1, g1 = jax.value_and_grad(loss_enc, argnums=(0, 1, 2, 3))(*args)
+        v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+            )
+
+
+def test_fused_module_fuse_ends_matches_jnp_dense():
+    """FusedDenseChempropBlock(fuse_ends=True) is numerically the jnp
+    DenseChempropBlock (forward and grads), with the same param tree."""
+    from notorch_tpu.nn.chemprop_dense import FusedDenseChempropBlock
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 16, 3
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(13)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    dense = DenseChempropBlock(hidden_dim=d, depth=depth)
+    fused = FusedDenseChempropBlock(
+        hidden_dim=d, depth=depth, mols_per_tile=2, fuse_ends=True
+    )
+    dv = dense.init(key, G)
+    fv = fused.init(key, G)
+    assert jax.tree.structure(dv) == jax.tree.structure(fv)
+    nmask = G.node_mask.astype(jnp.float32)[..., None]
+
+    def loss(mod, vs):
+        out = mod.apply(vs, G)
+        return ((out.node_feats * nmask) ** 2).sum()
+
+    v_d, g_d = jax.value_and_grad(lambda p: loss(dense, p))(dv)
+    v_f, g_f = jax.value_and_grad(lambda p: loss(fused, p))(dv)  # same params
+    np.testing.assert_allclose(float(v_f), float(v_d), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
 
 
