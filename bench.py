@@ -5,11 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Path measured: the fused Pallas dense-layout block kernel
 (``notorch_tpu.kernels.dense_mpnn`` — whole depth-3 block VMEM-resident,
 scatter+gather collapsed to one edge-to-edge one-hot consumed by the MXU)
-over size-sorted sub-batches (8 groups, each padded to its own caps — the
-framework's bucketed batching applied to the benchmark batch), falling back
-to the flat XLA segment_sum path if the Pallas kernel cannot compile on
-this target. Measured on TPU v5e: 364M edge-layer updates/s (186M without
-size sorting) vs 46.6M for the best XLA path.
+over BIN-PACKED blocks (``pack_graphs_dense``: several molecules per
+128-edge block with per-molecule node-id offsets — 94.7% real-edge lanes
+vs 79.3% for size-sorted groups, ONE compiled shape), falling back to
+size-sorted per-molecule groups if a molecule exceeds the bin, then to the
+flat XLA segment_sum path if the Pallas kernel cannot compile on this
+target. Measured on TPU v5e: 427.9M edge-layer updates/s forward, 181.0M
+through value_and_grad (sorted-8 groups: 375M / 144M; best XLA path:
+46.6M).
 
 Methodology: the block is iterated inside one jitted ``lax.fori_loop``
 (edge state fed back), reduced to a scalar in-jit and fetched to host — on
@@ -163,10 +166,9 @@ def main() -> None:
 
     edges_per_sec = None
     try:
-        # fused Pallas dense path over size-sorted sub-batches (the fast path)
-        n_groups = 8
-        order = sorted(range(len(graphs)), key=lambda i: graphs[i].num_edges)
-        gs = len(graphs) // n_groups
+        # fused Pallas dense path over bin-packed blocks (the fast path):
+        # several molecules per 128-edge block, node ids offset per molecule
+        # so the kernel's one-hot compares stay molecule-local
         dembed = DenseGraphEmbedding(42, 13, hidden_dim=hidden)
         dblock = DenseChempropBlock(hidden_dim=hidden, depth=depth)
         dbg0 = pad_graphs_dense(graphs[:8], 64, 128)
@@ -179,27 +181,57 @@ def main() -> None:
             [bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)]
         )
 
-        prepped = []
-        for k in range(n_groups):
-            grp = [graphs[i] for i in order[k * gs : (k + 1) * gs]]
-            V_g = -(-(max(g.num_nodes for g in grp) + 1) // 8) * 8
-            E_g = -(-max(g.num_edges for g in grp) // 16) * 16
-            dbg = pad_graphs_dense(grp, V_g, E_g)
-            G = dembed.apply(ev, dbg)
+        def prep_packed():
+            from notorch_tpu.data.dense import pack_graphs_dense, plan_bins
+
+            E_b, V_b = 128, 72
+            if max(g.num_edges for g in graphs) > E_b:
+                raise ValueError("molecule exceeds the 128-edge bin")
+            n_bins = len(plan_bins(graphs, V_b, E_b))
+            n_bins = -(-n_bins // 8) * 8  # kernel tiles 8 bins at a time
+            pk = pack_graphs_dense(graphs, V_b, E_b, bin_cap=n_bins)
+            G = dembed.apply(ev, pk)
             Gm = G.gather_matrix(jnp.float32)
             h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
-            # correctness gate before timing (relative: TPU f32 dot_general
-            # multiplies in bf16 at default precision, so summation-order
-            # changes show up at ~0.4%)
+            return [(h0, G.src, G.dst, G.edge_mask, V_b)], [G]
+
+        def prep_sorted():
+            n_groups = 8
+            order = sorted(range(len(graphs)), key=lambda i: graphs[i].num_edges)
+            gs = len(graphs) // n_groups
+            prepped, Gs = [], []
+            for k in range(n_groups):
+                grp = [graphs[i] for i in order[k * gs : (k + 1) * gs]]
+                V_g = -(-(max(g.num_nodes for g in grp) + 1) // 8) * 8
+                E_g = -(-max(g.num_edges for g in grp) // 16) * 16
+                dbg = pad_graphs_dense(grp, V_g, E_g)
+                G = dembed.apply(ev, dbg)
+                Gm = G.gather_matrix(jnp.float32)
+                h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+                prepped.append((h0, G.src, G.dst, G.edge_mask, V_g))
+                Gs.append(G)
+            return prepped, Gs
+
+        try:
+            prepped, Gs = prep_packed()
+        except Exception:
+            prepped, Gs = prep_sorted()
+
+        # correctness gate before timing (relative: TPU f32 dot_general
+        # multiplies in bf16 at default precision, so summation-order
+        # changes show up at ~0.4%)
+        for (h0, src, dst, emask, V_g), G in zip(prepped, Gs):
             ref = dblock.apply(bv, G).edge_feats
             out = fused_dense_mpnn_block(
-                h0, G.src, G.dst, G.edge_mask, Ws, bs,
+                h0, src, dst, emask, Ws, bs,
                 depth=depth, n_nodes=V_g, residual=True, mols_per_tile=8,
             )
-            rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+            mask = emask[..., None].astype(jnp.float32)
+            rel = float(
+                jnp.abs((out - ref) * mask).max() / jnp.abs(ref * mask).max()
+            )
             if rel > 0.02:
                 raise RuntimeError(f"fused kernel mismatch: rel={rel}")
-            prepped.append((h0, G.src, G.dst, G.edge_mask, V_g))
 
         def make_run(chain):
             @jax.jit

@@ -58,6 +58,7 @@ class DataLoader:
         layout: str = "flat",
         sort_by_size: bool = False,
         csr_pack: bool = False,
+        bin_edges: int = 128,
     ):
         from notorch_tpu.data.samplers import SeededSampler
 
@@ -72,7 +73,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.layout = layout
         self.csr_pack = csr_pack
-        if layout == "dense":
+        # dense_packed: target edge capacity per bin (raised to the batch
+        # max when a molecule exceeds it); bins per batch ladder-round
+        self.bin_edges = bin_edges
+        self.bin_ladder = bucket_ladder(8, 1 << 12)
+        if layout in ("dense", "dense_packed"):
             # per-molecule block ladders (small quanta)
             self.node_ladder = bucket_ladder(16, 1 << 16)
             self.edge_ladder = bucket_ladder(32, 1 << 17)
@@ -142,7 +147,17 @@ class DataLoader:
         ]
         caps = None
         if graphs:
-            if self.layout == "dense":
+            if self.layout == "dense_packed":
+                from notorch_tpu.data.dense import plan_bins
+
+                max_v = max(g.num_nodes for g in graphs) + 1
+                max_e = max(max(g.num_edges for g in graphs), 2)
+                max_e += max_e % 2
+                e_b = max(self.bin_edges, round_up_ladder(max_e, self.edge_ladder))
+                v_b = -(-max(max_v, e_b // 2 + 8) // 8) * 8
+                n_bins = len(plan_bins(graphs, v_b, e_b))
+                caps = (v_b, e_b, round_up_ladder(n_bins, self.bin_ladder))
+            elif self.layout == "dense":
                 max_v = max(g.num_nodes for g in graphs) + 1
                 max_e = max(max(g.num_edges for g in graphs), 2)
                 caps = (

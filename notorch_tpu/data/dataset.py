@@ -180,7 +180,20 @@ class MolecularDataset:
         for name, mgr in {**self.databases, **self.transforms}.items():
             values = [s[mgr.out_key] for s in samples]
             if values and isinstance(values[0], Graph):
-                if layout == "dense":
+                if layout == "dense_packed":
+                    from notorch_tpu.data.dense import pack_graphs_dense
+
+                    if graph_caps is not None:
+                        v_b, e_b, bin_cap = graph_caps
+                    else:
+                        e_b = max(max((g.num_edges for g in values), default=2), 2)
+                        e_b += e_b % 2
+                        v_b = max(g.num_nodes for g in values) + 1
+                        bin_cap = None
+                    collated = pack_graphs_dense(
+                        values, v_b, e_b, mol_cap=b_cap, bin_cap=bin_cap
+                    )
+                elif layout == "dense":
                     from notorch_tpu.data.dense import pad_graphs_dense
 
                     if graph_caps is not None:

@@ -29,7 +29,7 @@ from flax import struct
 
 from notorch_tpu.data.graph import Graph
 
-__all__ = ["DenseBatchedGraph", "pad_graphs_dense"]
+__all__ = ["DenseBatchedGraph", "pad_graphs_dense", "pack_graphs_dense", "plan_bins"]
 
 
 class DenseBatchedGraph(struct.PyTreeNode):
@@ -39,6 +39,12 @@ class DenseBatchedGraph(struct.PyTreeNode):
     ``src``/``dst``: [B, E_m] molecule-local indices; padding edges point at
     node ``V_m - 1`` (a padding slot — real molecules never use it because
     collation reserves it).
+
+    When built by :func:`pack_graphs_dense`, each row is a BIN holding
+    several bin-packed molecules (node ids offset per molecule so the
+    one-hot compare operators cannot match across molecules); ``node_graph``
+    then maps every node slot to its molecule's batch row (``n_mols`` for
+    padding slots) and per-molecule readouts segment-sum over it.
     """
 
     node_feats: jnp.ndarray
@@ -48,6 +54,9 @@ class DenseBatchedGraph(struct.PyTreeNode):
     node_mask: jnp.ndarray  # [B, V_m] bool
     edge_mask: jnp.ndarray  # [B, E_m] bool
     graph_mask: jnp.ndarray  # [B] bool — False for batch-padding slots
+    # packed-bin extras (None for the per-molecule layout)
+    node_graph: jnp.ndarray | None = None  # [B, V_m] i32 molecule id per slot
+    n_mols: int | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n_graphs(self) -> int:
@@ -145,4 +154,115 @@ def pad_graphs_dense(
         node_mask=conv(node_mask),
         edge_mask=conv(edge_mask),
         graph_mask=conv(graph_mask),
+    )
+
+
+def plan_bins(graphs: list[Graph], nodes_per_bin: int, edges_per_bin: int) -> list[list[int]]:
+    """First-fit-decreasing bin plan (by edges; ties broken by nodes):
+    returns molecule-index lists, one per bin, under the (nodes_per_bin - 1,
+    edges_per_bin) capacities (one node slot reserved as the padding sink)."""
+    V_b, E_b = nodes_per_bin, edges_per_bin
+    order = sorted(
+        range(len(graphs)),
+        key=lambda i: (graphs[i].num_edges, graphs[i].num_nodes),
+        reverse=True,
+    )
+    bins: list[list[int]] = []
+    free: list[tuple[int, int]] = []  # (free_nodes, free_edges) per bin
+    for i in order:
+        g = graphs[i]
+        need_v, need_e = g.num_nodes, g.num_edges
+        for b, (fv, fe) in enumerate(free):
+            if need_v <= fv and need_e <= fe:
+                bins[b].append(i)
+                free[b] = (fv - need_v, fe - need_e)
+                break
+        else:
+            bins.append([i])
+            free.append((V_b - 1 - need_v, E_b - need_e))
+    return bins
+
+
+def pack_graphs_dense(
+    graphs: Iterable[Graph],
+    nodes_per_bin: int,
+    edges_per_bin: int,
+    mol_cap: int | None = None,
+    bin_cap: int | None = None,
+    np_out: bool = False,
+) -> DenseBatchedGraph:
+    """Bin-pack molecules into fixed [V_bin, E_bin] blocks (first-fit
+    decreasing by edges).
+
+    The per-molecule layout wastes padded edge lanes (a ~55-edge molecule
+    occupies a >=128-lane tile row); packing several molecules per bin with
+    per-molecule node-id offsets keeps the SAME kernels exact — the in-VMEM
+    one-hot compares (``src(e) == dst(e')``, ``src(e) == v``) cannot match
+    across molecules because their node-id ranges are disjoint — while the
+    real-edge fraction of every MXU contraction approaches 1. A whole batch
+    also becomes ONE compiled shape (bins are uniform), instead of one shape
+    per size-sorted group.
+
+    ``node_graph[bin, v]`` maps node slots back to the molecule's batch row
+    (``mol_cap`` for padding slots) for per-molecule readouts. Slot
+    ``V_bin - 1`` in every bin is the padding-edge sink (real molecules
+    never reach it: capacity is ``V_bin - 1`` node slots).
+    """
+    graphs = list(graphs)
+    if edges_per_bin % 2 != 0:
+        raise ValueError("edges_per_bin must be even (interleaved pair layout)")
+    V_b, E_b = nodes_per_bin, edges_per_bin
+    M = mol_cap if mol_cap is not None else len(graphs)
+    if len(graphs) > M:
+        raise ValueError(f"{len(graphs)} graphs exceed mol_cap={M}")
+    for i, g in enumerate(graphs):
+        if g.num_nodes > V_b - 1 or g.num_edges > E_b:
+            raise ValueError(
+                f"molecule {i} ({g.num_nodes} nodes, {g.num_edges} edges) "
+                f"exceeds bin caps ({V_b - 1} nodes, {E_b} edges)"
+            )
+
+    bins = plan_bins(graphs, V_b, E_b)
+    NB = bin_cap if bin_cap is not None else len(bins)
+    if len(bins) > NB:
+        raise ValueError(f"packing needs {len(bins)} bins; bin_cap={NB}")
+
+    t_v = graphs[0].node_types.shape[1] if graphs else 1
+    t_e = graphs[0].edge_types.shape[1] if graphs else 1
+    node_types = np.zeros((NB, V_b, t_v), dtype=np.int32)
+    edge_types = np.zeros((NB, E_b, t_e), dtype=np.int32)
+    src = np.full((NB, E_b), V_b - 1, dtype=np.int32)
+    dst = np.full((NB, E_b), V_b - 1, dtype=np.int32)
+    node_mask = np.zeros((NB, V_b), dtype=bool)
+    edge_mask = np.zeros((NB, E_b), dtype=bool)
+    graph_mask = np.zeros(NB, dtype=bool)
+    node_graph = np.full((NB, V_b), M, dtype=np.int32)
+
+    for b, members in enumerate(bins):
+        v0 = e0 = 0
+        for i in members:
+            g = graphs[i]
+            V, E = g.num_nodes, g.num_edges
+            node_types[b, v0 : v0 + V] = g.node_types
+            edge_types[b, e0 : e0 + E] = g.edge_types
+            src[b, e0 : e0 + E] = np.asarray(g.src) + v0
+            dst[b, e0 : e0 + E] = np.asarray(g.dst) + v0
+            node_mask[b, v0 : v0 + V] = True
+            edge_mask[b, e0 : e0 + E] = True
+            node_graph[b, v0 : v0 + V] = i
+            v0 += V
+            e0 += E
+        graph_mask[b] = True
+
+    conv = (lambda x: x) if np_out else jnp.asarray
+    return DenseBatchedGraph(
+        node_feats=conv(node_types),
+        edge_feats=conv(edge_types),
+        src=conv(src),
+        dst=conv(dst),
+        node_mask=conv(node_mask),
+        edge_mask=conv(edge_mask),
+        graph_mask=conv(graph_mask),
+        node_graph=conv(node_graph),
+        n_mols=M,
     )

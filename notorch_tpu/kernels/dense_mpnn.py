@@ -803,9 +803,11 @@ def _encoder_body(
     eh_ref[:] = h
     # masked scatter one-hot, stored transposed: St[e, v] = [dst(e) == v and
     # e real] (matches DenseBatchedGraph.scatter_matrix)
-    mask_ok = emask.astype(jnp.float32) > 0.0
-    St = jnp.where(
-        (dst[:, :, None] == v_iota) & mask_ok[:, :, None], 1.0, 0.0
+    # mask multiply in f32: Mosaic rejects minor-dim insertion on i1
+    # vectors (bool [NB, E] -> [NB, E, 1]), so never broadcast the bool
+    St = (
+        jnp.where(dst[:, :, None] == v_iota, 1.0, 0.0)
+        * emask.astype(jnp.float32)[:, :, None]
     ).astype(mm)
     nh_ref[:] = jax.lax.dot_general(
         St, h.astype(mm), (((1,), (1,)), ((0,), (0,))),
@@ -840,9 +842,11 @@ def _encoder_bwd_kernel(
 
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, E, V), 2)
     G = jnp.where(src[:, :, None] == v_iota, 1.0, 0.0).astype(mm)
-    mask_ok = emask.astype(jnp.float32) > 0.0
-    St = jnp.where(
-        (dst[:, :, None] == v_iota) & mask_ok[:, :, None], 1.0, 0.0
+    # mask multiply in f32: Mosaic rejects minor-dim insertion on i1
+    # vectors (bool [NB, E] -> [NB, E, 1]), so never broadcast the bool
+    St = (
+        jnp.where(dst[:, :, None] == v_iota, 1.0, 0.0)
+        * emask.astype(jnp.float32)[:, :, None]
     ).astype(mm)
     A = _edge_adjacency(src, dst, emask, mm)
 

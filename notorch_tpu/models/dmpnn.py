@@ -150,7 +150,7 @@ def build_dmpnn(
         num_tasks if per_task == 1 else (num_tasks, per_task)
     )
 
-    if layout in ("dense", "dense_fused"):
+    if layout in ("dense", "dense_fused", "dense_packed"):
         from notorch_tpu.nn.chemprop_dense import (
             DenseChempropBlock,
             DenseGraphEmbedding,
@@ -158,6 +158,9 @@ def build_dmpnn(
             DenseMean,
             DenseSum,
             FusedDenseChempropBlock,
+            PackedMax,
+            PackedMean,
+            PackedSum,
         )
         from notorch_tpu.transforms.vocab import (
             DEFAULT_NUM_ATOM_TYPES,
@@ -165,6 +168,7 @@ def build_dmpnn(
         )
 
         dense_aggs = {"sum": DenseSum, "mean": DenseMean, "max": DenseMax}
+        packed_aggs = {"sum": PackedSum, "mean": PackedMean, "max": PackedMax}
         embed_mod = DenseGraphEmbedding(
             num_node_types=embed_kwargs.get("num_node_types", DEFAULT_NUM_ATOM_TYPES),
             num_edge_types=embed_kwargs.get("num_edge_types", DEFAULT_NUM_BOND_TYPES),
@@ -178,11 +182,24 @@ def build_dmpnn(
                     "use layout='dense' (or layout='auto', which selects it)"
                 )
             mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
+        elif layout == "dense_packed":
+            # bin-packed bins run through the SAME kernels (node-id offsets
+            # keep the in-VMEM one-hot compares molecule-local); per-molecule
+            # readout segment-sums over node_graph
+            if dropout and dropout > 0.0:
+                mp_mod = DenseChempropBlock(
+                    hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
+                )
+            else:
+                mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
         else:
             mp_mod = DenseChempropBlock(
                 hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
             )
-        readout_mod = dense_aggs[aggregation]()
+        readout_mod = (
+            packed_aggs[aggregation]() if layout == "dense_packed"
+            else dense_aggs[aggregation]()
+        )
     else:
         embed_mod = GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs)
         mp_mod = ChempropBlock(

@@ -286,3 +286,41 @@ class DenseMax(nn.Module):
         neg = jnp.where(G.node_mask[..., None], G.node_feats, -jnp.inf)
         out = neg.max(axis=1)
         return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _packed_segments(G: DenseBatchedGraph):
+    if G.node_graph is None or G.n_mols is None:
+        raise ValueError("packed readout needs a pack_graphs_dense batch")
+    d = G.node_feats.shape[-1]
+    flat = G.node_feats.reshape(-1, d)
+    ids = G.node_graph.reshape(-1)
+    return flat, ids, G.n_mols
+
+
+class PackedSum(nn.Module):
+    """Per-MOLECULE sum readout over a bin-packed batch: [NB, V_b, d] ->
+    [n_mols, d] via one segment-sum on ``node_graph`` (padding slots land in
+    the extra trash segment and are dropped)."""
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        flat, ids, M = _packed_segments(G)
+        return jax.ops.segment_sum(flat, ids, num_segments=M + 1)[:-1]
+
+
+class PackedMean(nn.Module):
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        flat, ids, M = _packed_segments(G)
+        total = jax.ops.segment_sum(flat, ids, num_segments=M + 1)[:-1]
+        ones = G.node_mask.reshape(-1, 1).astype(flat.dtype)
+        counts = jax.ops.segment_sum(ones, ids, num_segments=M + 1)[:-1]
+        return total / jnp.maximum(counts, 1.0)
+
+
+class PackedMax(nn.Module):
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        flat, ids, M = _packed_segments(G)
+        out = jax.ops.segment_max(flat, ids, num_segments=M + 1)[:-1]
+        return jnp.where(jnp.isfinite(out), out, 0.0)
