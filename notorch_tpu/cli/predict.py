@@ -79,7 +79,13 @@ def run_predict(
         data_cfg["smiles_col"] = smiles_col
     ds = build_dataset(data_cfg)  # no targets: inference CSVs need only molecules
 
-    layout = "dense" if str(meta["model"].get("layout", "flat")).startswith("dense") else "flat"
+    model_layout = str(meta["model"].get("layout", "flat"))
+    if model_layout == "dense_packed":
+        layout = "dense_packed"
+    elif model_layout.startswith("dense"):
+        layout = "dense"
+    else:
+        layout = "flat"
     loader = DataLoader(ds, batch_size=batch_size, layout=layout)
 
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))

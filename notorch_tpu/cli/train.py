@@ -421,7 +421,12 @@ def run(cfg: dict) -> dict:
 
     batch_size = trainer_cfg.get("batch_size", 64)
     model_layout = model_cfg.get("layout", "flat")
-    data_layout = "dense" if str(model_layout).startswith("dense") else "flat"
+    if str(model_layout) == "dense_packed":
+        data_layout = "dense_packed"  # bin-packed blocks (loader packs)
+    elif str(model_layout).startswith("dense"):
+        data_layout = "dense"
+    else:
+        data_layout = "flat"
     csr_pack = model_cfg.get("impl") == "csr" and data_layout == "flat"
     train_loader = DataLoader(
         train, batch_size=batch_size, shuffle=True, seed=seed, layout=data_layout,

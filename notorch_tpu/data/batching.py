@@ -59,6 +59,7 @@ class DataLoader:
         sort_by_size: bool = False,
         csr_pack: bool = False,
         bin_edges: int = 128,
+        shards: int = 1,
     ):
         from notorch_tpu.data.samplers import SeededSampler
 
@@ -74,8 +75,15 @@ class DataLoader:
         self.layout = layout
         self.csr_pack = csr_pack
         # dense_packed: target edge capacity per bin (raised to the batch
-        # max when a molecule exceeds it); bins per batch ladder-round
+        # max when a molecule exceeds it); bins per batch ladder-round.
+        # shards > 1 packs each contiguous batch_size/shards molecule chunk
+        # into its own equal run of bins with chunk-local readout ids, so a
+        # leading-axis split over a data mesh keeps every device local
+        # (DenseSpmdTrainer).
         self.bin_edges = bin_edges
+        self.shards = shards
+        if batch_size % shards != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by shards {shards}")
         self.bin_ladder = bucket_ladder(8, 1 << 12)
         if layout in ("dense", "dense_packed"):
             # per-molecule block ladders (small quanta)
@@ -155,8 +163,19 @@ class DataLoader:
                 max_e += max_e % 2
                 e_b = max(self.bin_edges, round_up_ladder(max_e, self.edge_ladder))
                 v_b = -(-max(max_v, e_b // 2 + 8) // 8) * 8
-                n_bins = len(plan_bins(graphs, v_b, e_b))
-                caps = (v_b, e_b, round_up_ladder(n_bins, self.bin_ladder))
+                m_local = self.batch_size // self.shards
+                n_local = max(
+                    (
+                        len(plan_bins(graphs[s * m_local : (s + 1) * m_local], v_b, e_b))
+                        for s in range(self.shards)
+                    ),
+                    default=1,
+                )
+                caps = (
+                    v_b, e_b,
+                    round_up_ladder(n_local, self.bin_ladder) * self.shards,
+                    self.shards,
+                )
             elif self.layout == "dense":
                 max_v = max(g.num_nodes for g in graphs) + 1
                 max_e = max(max(g.num_edges for g in graphs), 2)

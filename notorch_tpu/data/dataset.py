@@ -183,15 +183,18 @@ class MolecularDataset:
                 if layout == "dense_packed":
                     from notorch_tpu.data.dense import pack_graphs_dense
 
+                    n_shards = 1
                     if graph_caps is not None:
-                        v_b, e_b, bin_cap = graph_caps
+                        v_b, e_b, bin_cap, *rest = graph_caps
+                        n_shards = rest[0] if rest else 1
                     else:
                         e_b = max(max((g.num_edges for g in values), default=2), 2)
                         e_b += e_b % 2
                         v_b = max(g.num_nodes for g in values) + 1
                         bin_cap = None
                     collated = pack_graphs_dense(
-                        values, v_b, e_b, mol_cap=b_cap, bin_cap=bin_cap
+                        values, v_b, e_b, mol_cap=b_cap, bin_cap=bin_cap,
+                        n_shards=n_shards,
                     )
                 elif layout == "dense":
                     from notorch_tpu.data.dense import pad_graphs_dense

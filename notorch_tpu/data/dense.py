@@ -190,6 +190,7 @@ def pack_graphs_dense(
     mol_cap: int | None = None,
     bin_cap: int | None = None,
     np_out: bool = False,
+    n_shards: int = 1,
 ) -> DenseBatchedGraph:
     """Bin-pack molecules into fixed [V_bin, E_bin] blocks (first-fit
     decreasing by edges).
@@ -204,9 +205,17 @@ def pack_graphs_dense(
     per size-sorted group.
 
     ``node_graph[bin, v]`` maps node slots back to the molecule's batch row
-    (``mol_cap`` for padding slots) for per-molecule readouts. Slot
+    (``n_mols`` for padding slots) for per-molecule readouts. Slot
     ``V_bin - 1`` in every bin is the padding-edge sink (real molecules
     never reach it: capacity is ``V_bin - 1`` node slots).
+
+    ``n_shards > 1`` makes the packing DATA-PARALLEL-READY: molecules are
+    split into ``n_shards`` contiguous equal chunks, each chunk is packed
+    into its own equal-count run of bins, and ``node_graph`` carries
+    CHUNK-LOCAL molecule ids (``n_mols`` becomes the per-shard count).
+    Splitting every batch leaf on its leading axis (bins for the graph,
+    rows for the targets) then keeps each device's readout/loss fully
+    local — see :class:`notorch_tpu.parallel.dense_dp.DenseSpmdTrainer`.
     """
     graphs = list(graphs)
     if edges_per_bin % 2 != 0:
@@ -215,6 +224,8 @@ def pack_graphs_dense(
     M = mol_cap if mol_cap is not None else len(graphs)
     if len(graphs) > M:
         raise ValueError(f"{len(graphs)} graphs exceed mol_cap={M}")
+    if M % n_shards != 0:
+        raise ValueError(f"mol_cap {M} not divisible by n_shards {n_shards}")
     for i, g in enumerate(graphs):
         if g.num_nodes > V_b - 1 or g.num_edges > E_b:
             raise ValueError(
@@ -222,10 +233,16 @@ def pack_graphs_dense(
                 f"exceeds bin caps ({V_b - 1} nodes, {E_b} edges)"
             )
 
-    bins = plan_bins(graphs, V_b, E_b)
-    NB = bin_cap if bin_cap is not None else len(bins)
-    if len(bins) > NB:
-        raise ValueError(f"packing needs {len(bins)} bins; bin_cap={NB}")
+    M_local = M // n_shards
+    chunks = [graphs[s * M_local : (s + 1) * M_local] for s in range(n_shards)]
+    plans = [plan_bins(c, V_b, E_b) for c in chunks]
+    need = max((len(p) for p in plans), default=0) * n_shards
+    NB = bin_cap if bin_cap is not None else need
+    if need > NB:
+        raise ValueError(f"packing needs {need} bins; bin_cap={NB}")
+    if NB % n_shards != 0:
+        raise ValueError(f"bin_cap {NB} not divisible by n_shards {n_shards}")
+    NB_local = NB // n_shards
 
     t_v = graphs[0].node_types.shape[1] if graphs else 1
     t_e = graphs[0].edge_types.shape[1] if graphs else 1
@@ -236,23 +253,25 @@ def pack_graphs_dense(
     node_mask = np.zeros((NB, V_b), dtype=bool)
     edge_mask = np.zeros((NB, E_b), dtype=bool)
     graph_mask = np.zeros(NB, dtype=bool)
-    node_graph = np.full((NB, V_b), M, dtype=np.int32)
+    node_graph = np.full((NB, V_b), M_local, dtype=np.int32)
 
-    for b, members in enumerate(bins):
-        v0 = e0 = 0
-        for i in members:
-            g = graphs[i]
-            V, E = g.num_nodes, g.num_edges
-            node_types[b, v0 : v0 + V] = g.node_types
-            edge_types[b, e0 : e0 + E] = g.edge_types
-            src[b, e0 : e0 + E] = np.asarray(g.src) + v0
-            dst[b, e0 : e0 + E] = np.asarray(g.dst) + v0
-            node_mask[b, v0 : v0 + V] = True
-            edge_mask[b, e0 : e0 + E] = True
-            node_graph[b, v0 : v0 + V] = i
-            v0 += V
-            e0 += E
-        graph_mask[b] = True
+    for s, (chunk, plan) in enumerate(zip(chunks, plans)):
+        for b_local, members in enumerate(plan):
+            b = s * NB_local + b_local
+            v0 = e0 = 0
+            for i in members:  # i is chunk-local
+                g = chunk[i]
+                V, E = g.num_nodes, g.num_edges
+                node_types[b, v0 : v0 + V] = g.node_types
+                edge_types[b, e0 : e0 + E] = g.edge_types
+                src[b, e0 : e0 + E] = np.asarray(g.src) + v0
+                dst[b, e0 : e0 + E] = np.asarray(g.dst) + v0
+                node_mask[b, v0 : v0 + V] = True
+                edge_mask[b, e0 : e0 + E] = True
+                node_graph[b, v0 : v0 + V] = i
+                v0 += V
+                e0 += E
+            graph_mask[b] = True
 
     conv = (lambda x: x) if np_out else jnp.asarray
     return DenseBatchedGraph(
@@ -264,5 +283,5 @@ def pack_graphs_dense(
         edge_mask=conv(edge_mask),
         graph_mask=conv(graph_mask),
         node_graph=conv(node_graph),
-        n_mols=M,
+        n_mols=M_local,
     )

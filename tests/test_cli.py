@@ -306,3 +306,41 @@ def test_predict_from_checkpoint_mve_head(tmp_path):
     assert set(res) == {"pred_0", "pred_1"}  # mean, var channels
     assert np.all(np.isfinite(res["pred_0"]))
     assert np.all(res["pred_1"] >= 0)  # variances denormalized by scale^2
+
+
+def test_run_packed_layout_train_and_predict(tmp_path):
+    """layout=dense_packed flows through the CLI end to end: the loader
+    bin-packs, the model reads out per molecule, predictions export
+    row-aligned, and a fresh predict entry point restores the layout."""
+    import pandas as pd
+
+    from notorch_tpu.cli.predict import run_predict
+
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=2",
+            "trainer.batch_size=32",
+            "model.hidden_dim=32",
+            "model.depth=2",
+            "model.layout=dense_packed",
+            f"trainer.checkpoint_dir={tmp_path}/ckpt",
+            f"trainer.predictions_csv={tmp_path}/preds.csv",
+        ],
+    )
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(120).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+
+    out = run(cfg)
+    assert np.isfinite(out["history"][-1]["train/loss"])
+    assert np.isfinite(out["test"]["val/rmse"])
+    lines = (tmp_path / "preds.csv").read_text().strip().split("\n")
+    assert len(lines) == 1 + 12  # header + 10% test rows
+
+    meta = json.loads((tmp_path / "ckpt" / "predict_meta.json").read_text())
+    assert meta["model"]["layout"] == "dense_packed"
+    res = run_predict(tmp_path / "ckpt", small, out=tmp_path / "p2.csv", batch_size=32)
+    p2 = pd.read_csv(tmp_path / "p2.csv")
+    assert len(p2) == 120 and np.isfinite(p2.iloc[:, -1]).all()

@@ -146,6 +146,57 @@ def test_packed_mean_counts():
     )
 
 
+def test_packed_sharded_dp_matches_single_device():
+    """DataLoader(layout='dense_packed', shards=k) packs each contiguous
+    molecule chunk into its own equal run of bins with chunk-local readout
+    ids; DenseSpmdTrainer's leading-axis split then keeps every device
+    local and training matches the unsharded packed run."""
+    from notorch_tpu.data.dataset import MolecularDataset, TargetSpec, TransformManager
+    from notorch_tpu.parallel.dense_dp import DenseSpmdTrainer
+    from notorch_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    rng = np.random.default_rng(3)
+    smis = (SMIS * 2)[:16]
+    ys = rng.normal(size=len(smis))
+    ds = MolecularDataset(
+        {"smiles": smis, "y": list(ys)},
+        transforms={
+            "graph": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles")
+        },
+        targets={"y": TargetSpec(columns=["y"], task="regression")},
+    )
+    model = build_dmpnn(hidden_dim=32, depth=2, layout="dense_packed")
+
+    single = next(iter(DataLoader(ds, batch_size=16, layout="dense_packed", bin_edges=64)))
+    sharded = next(
+        iter(DataLoader(ds, batch_size=16, layout="dense_packed", bin_edges=64, shards=4))
+    )
+    G = [v for v in sharded.values() if hasattr(v, "node_graph")][0]
+    assert G.n_mols == 4  # chunk-local ids
+    assert G.n_graphs % 4 == 0
+
+    state_ref = model.init(jax.random.PRNGKey(0), single)
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    trainer = DenseSpmdTrainer(model, mesh)
+    state_spmd = jax.device_get(state_ref)
+    import flax
+
+    state_spmd = jax.tree.map(jnp.asarray, state_spmd)
+
+    losses_ref, losses_spmd = [], []
+    for _ in range(5):
+        state_ref, logs_ref = model.train_step(state_ref, single)
+        state_spmd, logs_spmd = trainer.train_step(state_spmd, sharded)
+        losses_ref.append(float(logs_ref["train/loss"]))
+        losses_spmd.append(float(logs_spmd["train/loss"]))
+    np.testing.assert_allclose(losses_spmd, losses_ref, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_spmd.params), jax.tree.leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_packed_end_to_end_training(smis=None):
     """build_dmpnn(layout='dense_packed') + DataLoader(layout='dense_packed')
     overfits a tiny set; predictions align with batch rows."""
