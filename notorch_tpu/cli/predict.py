@@ -65,9 +65,11 @@ def run_predict(
         model_cfg["layout"] = resolve_layout(
             model_cfg.get("layout", "auto"),
             dropout=model_cfg.get("dropout", 0.0),
+            dtype=model_cfg.get("dtype"),
             graph_axis=model_cfg.get("graph_axis"),
             remat=model_cfg.get("remat", False),
             impl=model_cfg.get("impl", "gather"),
+            aggregation=model_cfg.get("aggregation", "mean"),
         )
         meta = dict(meta)
         meta["model"] = model_cfg

@@ -57,6 +57,11 @@ class DenseBatchedGraph(struct.PyTreeNode):
     # packed-bin extras (None for the per-molecule layout)
     node_graph: jnp.ndarray | None = None  # [B, V_m] i32 molecule id per slot
     n_mols: int | None = struct.field(pytree_node=False, default=None)
+    # > 1 only for pack_graphs_dense(n_shards=k) batches, whose node_graph
+    # carries CHUNK-LOCAL molecule ids: such a batch is only meaningful after
+    # a leading-axis split across a data mesh (DenseSpmdTrainer marks each
+    # local shard back to 1); per-molecule readouts refuse n_shards > 1.
+    n_shards: int = struct.field(pytree_node=False, default=1)
 
     @property
     def n_graphs(self) -> int:
@@ -232,6 +237,14 @@ def pack_graphs_dense(
                 f"molecule {i} ({g.num_nodes} nodes, {g.num_edges} edges) "
                 f"exceeds bin caps ({V_b - 1} nodes, {E_b} edges)"
             )
+        # molecules are appended at cumulative edge offsets, so ONE graph
+        # with an odd (non-pair-interleaved) edge list would shift the
+        # reverse-pair alignment of every molecule packed after it
+        if g.num_edges % 2 != 0:
+            raise ValueError(
+                f"molecule {i} has an odd edge count ({g.num_edges}); packing "
+                "requires the (u,v),(v,u) interleaved reverse-pair layout"
+            )
 
     M_local = M // n_shards
     chunks = [graphs[s * M_local : (s + 1) * M_local] for s in range(n_shards)]
@@ -284,4 +297,5 @@ def pack_graphs_dense(
         graph_mask=conv(graph_mask),
         node_graph=conv(node_graph),
         n_mols=M_local,
+        n_shards=n_shards,
     )

@@ -102,15 +102,25 @@ class Gated(nn.Module):
 
 
 class SDPAttention(nn.Module):
-    """Query-conditioned scaled-dot-product pooling (reference agg.py:66-86)."""
+    """Query-conditioned scaled-dot-product pooling (reference agg.py:66-86).
+
+    ``Q`` is the per-graph query ``[b, d]`` (wire it from any upstream module
+    via in_keys); when omitted — the ``aggregation="sdp"`` factory path — a
+    learned query vector is broadcast to every graph (a 1-token
+    cross-attention readout)."""
 
     key_dim: int = DEFAULT_HIDDEN_DIM
     psum_axis: str | None = None
 
     @nn.compact
     def __call__(
-        self, G: BatchedGraph, Q: jnp.ndarray, training: bool = False, **kwargs
+        self, G: BatchedGraph, Q: jnp.ndarray | None = None,
+        training: bool = False, **kwargs
     ) -> jnp.ndarray:
+        if Q is None:
+            d = G.node_feats.shape[-1]
+            q = self.param("query", nn.initializers.lecun_normal(), (1, d))
+            Q = jnp.broadcast_to(q, (G.n_graphs, d)).astype(G.node_feats.dtype)
         # Q: [b, d] per-graph queries; trash slot gets a zero query
         q_full = jnp.concatenate([Q, jnp.zeros_like(Q[:1])], axis=0)
         scores = (q_full[G.node_graph] * G.node_feats).sum(-1) / jnp.sqrt(float(self.key_dim))

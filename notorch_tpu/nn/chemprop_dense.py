@@ -193,7 +193,12 @@ class FusedDenseChempropBlock(nn.Module):
     #   "stash"     — Pallas backward reading per-layer residuals the forward
     #                 stashed to HBM (no recompute; more HBM traffic) —
     #                 measured fastest on v5e (146.7M vs 127.2M edge-layers/s
-    #                 for recompute, sorted groups; scripts/bench_train_step.py)
+    #                 for recompute, sorted groups; scripts/bench_train_step.py).
+    #                 Peak-HBM cost: the stash holds (depth-1) * B * E * d * 4
+    #                 bytes of residuals per step (e.g. depth 3, 512x128 edge
+    #                 lanes, d=256: ~134 MB); on memory-constrained chips use
+    #                 stash_dtype="bfloat16" (halves it) or backward=
+    #                 "recompute" (no stash at all)
     #   "recompute" — Pallas backward, per-tile forward replay in VMEM
     #   "jnp"       — jnp recompute backward (debug/fallback)
     backward: str = "stash"
@@ -291,19 +296,40 @@ class DenseMax(nn.Module):
 def _packed_segments(G: DenseBatchedGraph):
     if G.node_graph is None or G.n_mols is None:
         raise ValueError("packed readout needs a pack_graphs_dense batch")
+    if G.n_shards != 1:
+        raise ValueError(
+            f"this packed batch carries {G.n_shards} chunk-local shards "
+            "(pack_graphs_dense(n_shards>1)); its node_graph ids are only "
+            "meaningful after a leading-axis split across a data mesh — "
+            "run it through DenseSpmdTrainer, or pack with n_shards=1"
+        )
     d = G.node_feats.shape[-1]
     flat = G.node_feats.reshape(-1, d)
     ids = G.node_graph.reshape(-1)
     return flat, ids, G.n_mols
 
 
+def _masked_node_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the node axis of [B, V] scores, excluding padding slots;
+    all-padding rows come out as zero weights (not NaN)."""
+    neg = jnp.where(mask, scores, -jnp.inf)
+    mx = jnp.max(neg, axis=1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
+    return ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+
+
 class PackedSum(nn.Module):
     """Per-MOLECULE sum readout over a bin-packed batch: [NB, V_b, d] ->
     [n_mols, d] via one segment-sum on ``node_graph`` (padding slots land in
-    the extra trash segment and are dropped)."""
+    the extra trash segment and are dropped). Falls back to the dense
+    per-molecule form when the batch carries no packing metadata, so one
+    ``dense_packed`` model consumes both dense layouts."""
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        if G.node_graph is None:
+            return DenseSum()(G, training)
         flat, ids, M = _packed_segments(G)
         return jax.ops.segment_sum(flat, ids, num_segments=M + 1)[:-1]
 
@@ -311,6 +337,8 @@ class PackedSum(nn.Module):
 class PackedMean(nn.Module):
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        if G.node_graph is None:
+            return DenseMean()(G, training)
         flat, ids, M = _packed_segments(G)
         total = jax.ops.segment_sum(flat, ids, num_segments=M + 1)[:-1]
         ones = G.node_mask.reshape(-1, 1).astype(flat.dtype)
@@ -321,6 +349,105 @@ class PackedMean(nn.Module):
 class PackedMax(nn.Module):
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        if G.node_graph is None:
+            return DenseMax()(G, training)
         flat, ids, M = _packed_segments(G)
         out = jax.ops.segment_max(flat, ids, num_segments=M + 1)[:-1]
         return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+class DenseGated(nn.Module):
+    """Learned softmax-attention pooling over the dense node axis — the
+    per-molecule-layout form of :class:`notorch_tpu.nn.agg.Gated` (reference
+    ``notorch/nn/gnn/agg.py:50-63``). Same parameter tree (``a/kernel``), so
+    weights are layout-interchangeable with the flat module."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        scores = nn.Dense(1, dtype=self.dtype, name="a")(G.node_feats).squeeze(-1)
+        alpha = _masked_node_softmax(scores, G.node_mask)
+        return (alpha[..., None] * G.node_feats.astype(alpha.dtype)).sum(axis=1)
+
+
+class DenseSDPAttention(nn.Module):
+    """Query-conditioned scaled-dot-product pooling over the dense node axis
+    (reference ``agg.py:66-86``). ``Q`` is the per-graph query ``[B, d]``;
+    when omitted (the factory path) a learned query vector is broadcast to
+    every graph — same semantics as a 1-token cross-attention readout."""
+
+    key_dim: int = DEFAULT_HIDDEN_DIM
+
+    @nn.compact
+    def __call__(
+        self, G: DenseBatchedGraph, Q: jnp.ndarray | None = None, training: bool = False
+    ) -> jnp.ndarray:
+        d = G.node_feats.shape[-1]
+        if Q is None:
+            q = self.param("query", nn.initializers.lecun_normal(), (1, d))
+            Q = jnp.broadcast_to(q, (G.n_graphs, d)).astype(G.node_feats.dtype)
+        scores = (Q[:, None, :] * G.node_feats).sum(-1) / jnp.sqrt(float(self.key_dim))
+        alpha = _masked_node_softmax(scores, G.node_mask)
+        return (alpha[..., None] * G.node_feats.astype(alpha.dtype)).sum(axis=1)
+
+
+class PackedGated(nn.Module):
+    """Gated pooling for bin-packed batches: segment softmax over
+    ``node_graph`` -> [n_mols, d]. Falls back to the dense per-molecule form
+    when the batch carries no packing metadata, so one ``dense_packed`` model
+    consumes both layouts."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> jnp.ndarray:
+        scores = nn.Dense(1, dtype=self.dtype, name="a")(G.node_feats).squeeze(-1)
+        if G.node_graph is None:
+            alpha = _masked_node_softmax(scores, G.node_mask)
+            return (alpha[..., None] * G.node_feats.astype(alpha.dtype)).sum(axis=1)
+        from notorch_tpu.nn.ops import segment_softmax
+
+        flat, ids, M = _packed_segments(G)
+        alpha = segment_softmax(
+            scores.reshape(-1), ids, M + 1, mask=G.node_mask.reshape(-1)
+        )
+        return jax.ops.segment_sum(
+            alpha[:, None] * flat.astype(alpha.dtype), ids, num_segments=M + 1
+        )[:-1]
+
+
+class PackedSDPAttention(nn.Module):
+    """SDP pooling for bin-packed batches; ``Q`` is per-molecule ``[n_mols,
+    d]`` (learned broadcast query when omitted). Dense fallback as above."""
+
+    key_dim: int = DEFAULT_HIDDEN_DIM
+
+    @nn.compact
+    def __call__(
+        self, G: DenseBatchedGraph, Q: jnp.ndarray | None = None, training: bool = False
+    ) -> jnp.ndarray:
+        d = G.node_feats.shape[-1]
+        q = (
+            self.param("query", nn.initializers.lecun_normal(), (1, d))
+            if Q is None
+            else None
+        )
+        scale = 1.0 / jnp.sqrt(float(self.key_dim))
+        if G.node_graph is None:
+            if Q is None:
+                Q = jnp.broadcast_to(q, (G.n_graphs, d)).astype(G.node_feats.dtype)
+            scores = (Q[:, None, :] * G.node_feats).sum(-1) * scale
+            alpha = _masked_node_softmax(scores, G.node_mask)
+            return (alpha[..., None] * G.node_feats.astype(alpha.dtype)).sum(axis=1)
+        from notorch_tpu.nn.ops import segment_softmax
+
+        flat, ids, M = _packed_segments(G)
+        if Q is None:
+            Q = jnp.broadcast_to(q, (M, d)).astype(flat.dtype)
+        q_full = jnp.concatenate([Q, jnp.zeros_like(Q[:1])], axis=0)  # trash row
+        scores = (q_full[ids] * flat).sum(-1) * scale
+        alpha = segment_softmax(scores, ids, M + 1, mask=G.node_mask.reshape(-1))
+        return jax.ops.segment_sum(
+            alpha[:, None] * flat.astype(alpha.dtype), ids, num_segments=M + 1
+        )[:-1]

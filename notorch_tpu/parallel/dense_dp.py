@@ -24,6 +24,21 @@ from notorch_tpu.model.model import EPS, Model, TrainState
 __all__ = ["DenseDataParallel", "DenseSpmdTrainer"]
 
 
+def _mark_shards_local(batch: dict) -> dict:
+    """Inside shard_map each device holds ONE chunk of a
+    ``pack_graphs_dense(n_shards=k)`` batch — a complete single-shard batch
+    with chunk-local molecule ids. Reset the shard marker so the packed
+    readouts (which refuse ambiguous multi-shard batches) accept it."""
+    from notorch_tpu.data.dense import DenseBatchedGraph
+
+    return {
+        k: v.replace(n_shards=1)
+        if isinstance(v, DenseBatchedGraph) and v.n_shards != 1
+        else v
+        for k, v in batch.items()
+    }
+
+
 class DenseDataParallel:
     """Shard dense-layout batches over ``axis``; params stay replicated."""
 
@@ -85,7 +100,7 @@ class DenseSpmdTrainer:
 
             def loss_fn(params):
                 out = model.network.apply(
-                    {"params": params}, dict(batch), training=True,
+                    {"params": params}, _mark_shards_local(batch), training=True,
                     rngs={"dropout": dropout_rng},
                 )
                 out = model._apply_transforms(out, "targets")
@@ -129,7 +144,9 @@ class DenseSpmdTrainer:
         )
 
         def local_eval_step(params, batch):
-            out = model.network.apply({"params": params}, dict(batch), training=False)
+            out = model.network.apply(
+                {"params": params}, _mark_shards_local(batch), training=False
+            )
             out = model._apply_transforms(out, "targets")
             terms = model._loss_terms(out)
             terms.update(model._metric_terms(out))
@@ -146,7 +163,10 @@ class DenseSpmdTrainer:
         )
 
     def init(self, rng: jax.Array, example_batch) -> TrainState:
-        state = self.model.init(rng, example_batch)
+        # init traces the network only (no loss), so the chunk-id collision
+        # of an unsplit shards>1 batch is harmless — but the packed readouts'
+        # multi-shard guard must be disarmed for the trace
+        state = self.model.init(rng, _mark_shards_local(dict(example_batch)))
         return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     def train_step(self, state: TrainState, batch):
