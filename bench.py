@@ -33,6 +33,15 @@ import time
 
 import numpy as np
 
+# Pinned baseline denominator so ``vs_baseline`` is comparable across rounds
+# (the live remeasure runs on a contended host and drifted 414k-592k edges/s
+# between rounds for the identical computation). Provenance: best of 5 runs
+# of ``_torch_cpu_baseline(iters=5)`` on this image's CPU, 2026-08-20
+# (512-mol lipo batch, hidden 256, depth 3; samples 436868/525506/386374/
+# 514318/592559 — matches round 2's implied 591.8k). Re-measure with
+# ``python bench.py --remeasure-baseline``.
+PINNED_BASELINE_EDGES_PER_SEC = 592_559.0
+
 
 def _torch_cpu_baseline(bg, d: int, depth: int, iters: int = 5) -> float:
     """Reference-equivalent D-MPNN recurrence: torch CPU, index_add scatter."""
@@ -332,7 +341,7 @@ def main() -> None:
     bg_base = pad_graphs(
         graphs, total_v, real_edges, graph_cap=len(graphs), np_out=True
     )
-    baseline = _torch_cpu_baseline(bg_base, hidden, depth)
+    baseline_live = _torch_cpu_baseline(bg_base, hidden, depth)
 
     print(
         json.dumps(
@@ -340,7 +349,14 @@ def main() -> None:
                 "metric": "dmpnn_message_passing_edges_per_sec_per_chip",
                 "value": round(edges_per_sec, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_sec / baseline, 3),
+                # pinned denominator (PINNED_BASELINE_EDGES_PER_SEC) so the
+                # ratio is comparable across rounds; the live remeasure
+                # reflects this run's host contention only
+                "vs_baseline": round(
+                    edges_per_sec / PINNED_BASELINE_EDGES_PER_SEC, 3
+                ),
+                "vs_baseline_live": round(edges_per_sec / baseline_live, 3),
+                "baseline_live_edges_per_sec": round(baseline_live, 1),
                 # training is the product: fwd+bwd through value_and_grad
                 # on the same size-sorted batches (Pallas recompute backward)
                 "train_step_edges_per_sec": train_edges_per_sec,
@@ -353,5 +369,39 @@ def main() -> None:
     )
 
 
+def remeasure_baseline(samples: int = 5) -> None:
+    """Re-sample the torch-CPU baseline (for re-pinning
+    PINNED_BASELINE_EDGES_PER_SEC; prints samples + best, no TPU use)."""
+    import csv
+    import os
+
+    from notorch_tpu.data.graph import pad_graphs
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    path = os.path.join(os.path.dirname(__file__), "tests", "data", "lipo.csv")
+    with open(path) as f:
+        smis = [row["smiles"] for row in csv.DictReader(f)][:512]
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    graphs = [pipe(s) for s in smis]
+    real_edges = sum(g.num_edges for g in graphs)
+    total_v = sum(g.num_nodes for g in graphs) + 1
+    bg = pad_graphs(graphs, total_v, real_edges, graph_cap=len(graphs), np_out=True)
+    vals = [_torch_cpu_baseline(bg, 256, 3) for _ in range(samples)]
+    print(
+        json.dumps(
+            {
+                "samples_edges_per_sec": [round(v, 1) for v in vals],
+                "best": round(max(vals), 1),
+                "pinned": PINNED_BASELINE_EDGES_PER_SEC,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--remeasure-baseline" in sys.argv:
+        remeasure_baseline()
+    else:
+        main()
