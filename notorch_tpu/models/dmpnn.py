@@ -131,10 +131,16 @@ def build_dmpnn(
       message passing is fully local and the only cross-shard traffic is the
       readout's [G, d] psum. This is the boundary-minimizing design (a
       molecular batch is a disjoint union, so the boundary set is empty).
+    - ``"halo"``: boundary halo-exchange edge partitioning for graphs that
+      exceed a shard — nodes in contiguous blocks, reverse-pair-local edges,
+      2 boundary ``all_to_all``s per layer (:mod:`notorch_tpu.parallel.
+      halo`). Batches come from
+      :func:`notorch_tpu.parallel.partition.build_halo_spmd_batch`; train
+      via :class:`~notorch_tpu.parallel.spmd.SpmdTrainer` (or the CLI's
+      ``trainer.spmd`` + ``model.partition: halo`` — configs/dmpnn_halo.yaml).
     - ``"replicate"``: legacy replicated-node edge partitioning — a full
-      [V, d] psum every layer (``ChempropLayer.psum_axis``). Use only for
-      batches whose single molecules exceed a shard; for giant single graphs
-      see :mod:`notorch_tpu.parallel.halo`.
+      [V, d] psum every layer (``ChempropLayer.psum_axis``). Kept for
+      comparison.
     """
     import jax.numpy as jnp
 
@@ -149,10 +155,15 @@ def build_dmpnn(
             "graph-axis partitioning operates on the flat layout; got "
             f"layout={layout!r} with graph_axis={graph_axis!r}"
         )
-    if partition not in ("molecule", "replicate"):
+    if partition not in ("molecule", "replicate", "halo"):
         raise ValueError(f"unknown partition scheme {partition!r}")
+    if partition == "halo" and graph_axis is not None and (dropout or remat):
+        raise ValueError(
+            "the halo message-passing block supports neither dropout nor "
+            "remat; build with dropout=0.0, remat=False"
+        )
     mp_psum_axis = graph_axis if partition == "replicate" else None
-    readout_psum_axis = graph_axis if partition == "molecule" else None
+    readout_psum_axis = graph_axis if partition in ("molecule", "halo") else None
 
     dtype = dtype or jnp.float32
     embed_kwargs = {}
@@ -234,15 +245,28 @@ def build_dmpnn(
         )
     else:
         embed_mod = GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs)
-        mp_mod = ChempropBlock(
-            hidden_dim=hidden_dim,
-            depth=depth,
-            dropout=dropout,
-            dtype=dtype,
-            psum_axis=mp_psum_axis,
-            remat=remat,
-            impl=impl,
-        )
+        if partition == "halo" and graph_axis is not None:
+            # boundary halo exchange for graphs that exceed a shard: embed
+            # duck-types HaloShard batches (parallel.partition.
+            # build_halo_spmd_batch), the block exchanges only boundary rows
+            from notorch_tpu.parallel.halo import HaloChempropBlock
+
+            mp_mod = HaloChempropBlock(
+                axis=graph_axis,
+                hidden_dim=hidden_dim,
+                depth=depth,
+                param_dtype=dtype,
+            )
+        else:
+            mp_mod = ChempropBlock(
+                hidden_dim=hidden_dim,
+                depth=depth,
+                dropout=dropout,
+                dtype=dtype,
+                psum_axis=mp_psum_axis,
+                remat=remat,
+                impl=impl,
+            )
         agg_kwargs = {"psum_axis": readout_psum_axis}
         if aggregation == "sdp":
             agg_kwargs["key_dim"] = hidden_dim

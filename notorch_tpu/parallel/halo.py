@@ -107,8 +107,20 @@ class HaloShard(struct.PyTreeNode):
         return self.replace(**kwargs)
 
 
-def partition_edges_halo(bg: BatchedGraph, n_shards: int) -> list[HaloShard]:
+def partition_edges_halo(
+    bg: BatchedGraph,
+    n_shards: int,
+    pair_cap: int | None = None,
+    b_cap: int | None = None,
+    h_cap: int | None = None,
+) -> list[HaloShard]:
     """Split a (host, numpy) padded batch into halo shards.
+
+    ``pair_cap``/``b_cap``/``h_cap`` optionally OVERRIDE the computed
+    per-shard capacities (they must be >= the computed minimums) so that
+    shards from different batches share one pytree structure — required
+    when stacking several data groups into one SPMD batch
+    (:func:`notorch_tpu.parallel.partition.build_halo_spmd_batch`).
 
     Nodes: contiguous blocks of ``V/n`` (relabel/permute nodes beforehand for
     a better cut — the partition quality lever lives entirely host-side).
@@ -134,8 +146,12 @@ def partition_edges_halo(bg: BatchedGraph, n_shards: int) -> list[HaloShard]:
         raise ValueError("halo partitioning requires interleaved reverse pairs")
     pair_owner = src[2 * real_pairs] // v_loc
     assigned = [real_pairs[pair_owner == s] for s in range(n_shards)]
-    pair_cap = max((len(a) for a in assigned), default=0)
-    pair_cap = max(-(-pair_cap // 4) * 4, 4)  # even e_loc, 8-aligned
+    pair_cap_min = max((len(a) for a in assigned), default=0)
+    pair_cap_min = max(-(-pair_cap_min // 4) * 4, 4)  # even e_loc, 8-aligned
+    if pair_cap is None:
+        pair_cap = pair_cap_min
+    elif pair_cap < pair_cap_min:
+        raise ValueError(f"pair_cap {pair_cap} < required {pair_cap_min}")
     e_loc = 2 * pair_cap
 
     # boundary[s][p]: nodes owned by p that shard s touches (src or dst).
@@ -155,8 +171,16 @@ def partition_edges_halo(bg: BatchedGraph, n_shards: int) -> list[HaloShard]:
             rows.append(own if p != s else np.empty(0, np.int64))
         boundary.append(rows)
 
-    b_cap = max((len(r) for rows in boundary for r in rows), default=0)
-    h_cap = max((sum(len(r) for r in rows) for rows in boundary), default=0)
+    b_cap_min = max((len(r) for rows in boundary for r in rows), default=0)
+    h_cap_min = max((sum(len(r) for r in rows) for rows in boundary), default=0)
+    if b_cap is None:
+        b_cap = b_cap_min
+    elif b_cap < b_cap_min:
+        raise ValueError(f"b_cap {b_cap} < required {b_cap_min}")
+    if h_cap is None:
+        h_cap = h_cap_min
+    elif h_cap < h_cap_min:
+        raise ValueError(f"h_cap {h_cap} < required {h_cap_min}")
 
     # local rev is always the pairwise swap (pairs stay adjacent)
     rev_local = np.arange(e_loc, dtype=np.int32)

@@ -40,6 +40,7 @@ __all__ = [
     "partition_molecules",
     "shard_graph_molecules",
     "build_molecule_spmd_batch",
+    "build_halo_spmd_batch",
 ]
 
 
@@ -204,6 +205,92 @@ def build_molecule_spmd_batch(
             entry[f"inputs.{attr}"] = np.stack(rows)
         data_entries.append(entry)
     return stack_pytrees(data_entries)
+
+
+def build_halo_spmd_batch(
+    graph_groups: list[list[Graph]],
+    target_arrays: dict[str, np.ndarray] | None,
+    node_cap: int,
+    edge_cap: int,
+    graph_cap: int,
+    n_shards: int = 1,
+    extra_inputs: dict[str, list[np.ndarray]] | None = None,
+    pair_cap: int | None = None,
+    b_cap: int | None = None,
+    h_cap: int | None = None,
+):
+    """Like :func:`build_molecule_spmd_batch` but the graph axis carries
+    boundary-HALO edge partitions (:mod:`notorch_tpu.parallel.halo`): each
+    data group is padded into ONE flat disjoint-union graph (``node_cap``
+    must divide evenly into ``n_shards`` node blocks) and split with
+    :func:`partition_edges_halo`. Use when single graphs exceed a shard —
+    message passing exchanges only boundary rows (2 ``all_to_all``s/layer).
+
+    Targets are tiled across the graph axis: the psum-aware readout makes
+    the per-graph embedding replicated, so the loss tail is replicated and
+    the :class:`~notorch_tpu.parallel.spmd.SpmdTrainer` shard-0 gating gives
+    gradients exactly equal to the unsharded computation.
+    """
+    from notorch_tpu.parallel.halo import partition_edges_halo
+
+    if node_cap % n_shards:
+        raise ValueError(
+            f"node_cap {node_cap} must divide into {n_shards} halo shards"
+        )
+    bgs = [
+        pad_graphs(graphs, node_cap, edge_cap, graph_cap=graph_cap, np_out=True)
+        for graphs in graph_groups
+    ]
+    # shard capacities depend on each group's edge distribution; use the
+    # maxima so shards from every data group share ONE pytree structure
+    # (callers pass fixed caps for one compiled shape ACROSS batches — see
+    # halo_spmd_caps)
+    if len(bgs) > 1 and (pair_cap is None or b_cap is None or h_cap is None):
+        probes = [partition_edges_halo(bg, n_shards) for bg in bgs]
+        pair_cap = pair_cap or max(p[0].num_edges // 2 for p in probes)
+        b_cap = b_cap if b_cap is not None else max(p[0].b_cap for p in probes)
+        h_cap = h_cap if h_cap is not None else max(p[0].h_cap for p in probes)
+    data_entries = []
+    for gi, (graphs, bg) in enumerate(zip(graph_groups, bgs)):
+        shards = partition_edges_halo(
+            bg, n_shards, pair_cap=pair_cap, b_cap=b_cap, h_cap=h_cap
+        )
+        entry = {"inputs.G": stack_pytrees(shards)}
+        tiled = lambda x: np.broadcast_to(x, (n_shards,) + x.shape).copy()
+        for name, arr in (target_arrays or {}).items():
+            rows = np.asarray(arr[gi], dtype=np.float32)
+            mask = ~np.isnan(rows)
+            entry[f"targets.{name}"] = tiled(np.nan_to_num(rows, nan=0.0))
+            entry[f"targets.{name}_mask"] = tiled(mask)
+        for name, arrs in (extra_inputs or {}).items():
+            entry[f"inputs.{name}"] = tiled(np.asarray(arrs[gi]))
+        data_entries.append(entry)
+    return stack_pytrees(data_entries)
+
+
+def halo_spmd_caps(
+    all_graph_groups,
+    node_cap: int,
+    edge_cap: int,
+    graph_cap: int,
+    n_shards: int,
+) -> tuple[int, int, int]:
+    """Max ``(pair_cap, b_cap, h_cap)`` over every prospective batch — pass
+    to :func:`build_halo_spmd_batch` so a whole training run compiles ONE
+    step shape."""
+    from notorch_tpu.parallel.halo import partition_edges_halo
+
+    pc = bc = hc = 0
+    for groups in all_graph_groups:
+        for graphs in groups:
+            bg = pad_graphs(
+                graphs, node_cap, edge_cap, graph_cap=graph_cap, np_out=True
+            )
+            s = partition_edges_halo(bg, n_shards)[0]
+            pc = max(pc, s.num_edges // 2)
+            bc = max(bc, s.b_cap)
+            hc = max(hc, s.h_cap)
+    return pc, bc, hc
 
 
 def stack_pytrees(trees: list):

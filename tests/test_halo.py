@@ -248,3 +248,129 @@ def test_partition_invariants():
             np.concatenate([np.asarray(s.node_mask) for s in shards]),
             np.asarray(bg.node_mask),
         )
+
+
+# ---- end-to-end: declarative model + CLI (VERDICT r2 #4) -------------------
+
+_SMIS_E2E = [
+    "CCO", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "c1ccc2c(c1)cccc2", "NC(=O)c1ccccc1", "OCC(O)CO", "ClCC(Cl)CCl",
+]
+
+
+def _halo_groups(n_data, per, seed=0):
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    groups = [
+        [pipe(_SMIS_E2E[(i * per + j) % len(_SMIS_E2E)]) for j in range(per)]
+        for i in range(n_data)
+    ]
+    rng = np.random.default_rng(seed)
+    targets = {"y": rng.normal(size=(n_data, per, 1)).astype(np.float32)}
+    return groups, targets
+
+
+def _train_halo(n_data, n_graph, steps=3, node_cap=96, edge_cap=128, per=4):
+    """Build the declarative halo model (embed -> HaloChempropBlock ->
+    psum readout -> FFN -> MSE) and run ``steps`` SpmdTrainer steps."""
+    from notorch_tpu.models.dmpnn import build_dmpnn
+    from notorch_tpu.parallel.partition import build_halo_spmd_batch
+    from notorch_tpu.parallel.spmd import SpmdTrainer
+
+    groups, targets = _halo_groups(n_data, per)
+    batch = build_halo_spmd_batch(
+        groups, targets, node_cap, edge_cap, per, n_shards=n_graph
+    )
+    model = build_dmpnn(hidden_dim=32, depth=2, graph_axis="graph", partition="halo")
+    mesh = make_mesh(
+        {"data": n_data, "graph": n_graph}, devices=jax.devices()[: n_data * n_graph]
+    )
+    trainer = SpmdTrainer(model, mesh, data_axis="data", graph_axis="graph")
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    params0 = jax.tree.map(np.asarray, state.params)
+    losses = []
+    for _ in range(steps):
+        state, logs = trainer.train_step(state, batch)
+        losses.append(float(logs["train/loss"]))
+    return params0, losses, jax.tree.map(np.asarray, state.params), (groups, targets)
+
+
+@pytest.mark.multihost
+def test_halo_model_matches_flat_oracle():
+    """Step-0 loss of the sharded declarative halo model equals the flat
+    unsharded model with the SAME parameters (halo stacked weights map onto
+    the flat per-layer Dense kernels by linearity)."""
+    from notorch_tpu.models.dmpnn import build_dmpnn
+
+    params0, losses, _, (groups, targets) = _train_halo(2, 4, steps=1)
+    ref_model = build_dmpnn(hidden_dim=32, depth=2, layout="flat")
+    ref_params = dict(params0)
+    mp = params0["modules__mp"]
+    ref_params["modules__mp"] = {
+        f"layer_{i}": {"update": {"kernel": mp["weights"][i], "bias": mp["biases"][i]}}
+        for i in range(2)
+    }
+    ref_losses = []
+    for gi, grp in enumerate(groups):
+        bg = pad_graphs(grp, 96, 128, graph_cap=4)
+        rb = {
+            "inputs.G": bg,
+            "targets.y": targets["y"][gi],
+            "targets.y_mask": np.ones((4, 1), dtype=bool),
+        }
+        rl, _ = ref_model.eval_step(ref_params, rb, {})
+        ref_losses.append(float(rl["val/loss"]))
+    ref = float(np.mean(ref_losses))
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-4)
+
+
+@pytest.mark.multihost
+@pytest.mark.parametrize("n_graph", [2, 4])
+def test_halo_model_training_parity(n_graph):
+    """Whole training trajectories agree between graph-sharded and
+    single-shard runs: per-step losses and final params (gradient
+    exactness through embed + halo block + psum readout + FFN + Adam)."""
+    p0_ref, losses_ref, pN_ref, _ = _train_halo(2, 1)
+    p0, losses, pN, _ = _train_halo(2, n_graph)
+    for a, b in zip(jax.tree.leaves(p0_ref), jax.tree.leaves(p0)):
+        np.testing.assert_allclose(b, a, rtol=1e-6)  # same init
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(pN_ref), jax.tree.leaves(pN)):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.multihost
+def test_halo_cli_parity(tmp_path):
+    """`model.partition: halo` + `trainer.spmd` train end to end from the
+    shipped config, and the graph-sharded run computes the same model as the
+    single-shard run (losses + final params allclose)."""
+    from notorch_tpu.cli.train import apply_overrides, load_config, run
+
+    def go(n_graph):
+        cfg = load_config("configs/dmpnn_halo.yaml")
+        apply_overrides(
+            cfg,
+            [
+                "trainer.epochs=2",
+                "trainer.batch_size=8",
+                "model.hidden_dim=16",
+                "model.depth=2",
+            ],
+        )
+        cfg["data"]["csv"] = "tests/data/lipo.csv"
+        cfg["data"]["targets"] = {"y": {"columns": ["lipo"], "task": "regression"}}
+        cfg["optimizer"] = {"name": "adam", "lr": 3e-3}
+        cfg["trainer"]["spmd"] = {"data": 2, "graph": n_graph}
+        return run(cfg)
+
+    ref = go(1)
+    out = go(4)
+    l_ref = [h["train/loss"] for h in ref["history"]]
+    l_out = [h["train/loss"] for h in out["history"]]
+    assert np.isfinite(l_out[-1]) and l_out[-1] < l_out[0]
+    np.testing.assert_allclose(l_out, l_ref, rtol=1e-4)
+    for a, b in zip(
+        jax.tree.leaves(ref["_state"].params), jax.tree.leaves(out["_state"].params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5)
