@@ -1,0 +1,176 @@
+"""SchNet (and GVP) on the chip: forward + train-step rates (VERDICT r2 #6).
+
+The reference's spatial hot loop is the continuous-filter convolution over a
+radius graph (reference ``notorch/nn/spatial/schnet.py:35-46``, dynamic
+``radius_graph`` + scatter). The TPU form is static-K nearest neighbors
+(``nn/spatial/neighbors.py``: one [N, N] masked distance matrix + ``top_k``)
+and a masked K-axis reduce — dense, MXU/VPU-shaped, no scatter.
+
+Metric: CFConv neighbor interactions/s = real_atoms x K x depth x chain / t
+(forward), and the same through ``value_and_grad`` + param update math for
+the train number. Methodology follows bench.py: on-device ``fori_loop``
+chains sized >= 1 s (the tunnel's 30-50 ms latency floor + early-returning
+block_until_ready make per-call timing meaningless), scalar fetch to sync.
+
+Synthetic QM9-scale clouds (10-25 atoms, ~1.7 A spacing) — the real QM9
+coordinates are not in the image (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_clouds(n_mols: int, seed: int = 0):
+    from notorch_tpu.data.point_cloud import PointCloud, pad_point_clouds
+
+    rng = np.random.default_rng(seed)
+    clouds = []
+    n_atoms = 0
+    for _ in range(n_mols):
+        n = int(rng.integers(10, 26))
+        n_atoms += n
+        side = (n * 8.0) ** (1.0 / 3.0)  # ~realistic density
+        coords = rng.uniform(0, side, size=(n, 3)).astype(np.float32)
+        types = rng.integers(0, 9, size=(n, 1)).astype(np.int32)
+        clouds.append(PointCloud(types, coords))
+    cap = -(-(n_atoms + 1) // 256) * 256
+    return pad_point_clouds(clouds, node_cap=cap, graph_cap=n_mols), n_atoms
+
+
+def measure(run_scalar, target_seconds: float = 1.2):
+    probe = run_scalar(5)
+    float(probe())
+    t0 = time.perf_counter()
+    float(probe())
+    dt5 = time.perf_counter() - t0
+    chain = max(10, min(2000, int(target_seconds / max(dt5 / 5, 1e-5))))
+    run = run_scalar(chain)
+    float(run())
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run())
+        best = min(best, time.perf_counter() - t0)
+    return best, chain
+
+
+def bench_schnet(n_mols=128, hidden=128, depth=3, K=16, radius=5.0):
+    import jax
+    import jax.numpy as jnp
+
+    from notorch_tpu.nn.spatial.pointwise import PointwiseEmbed
+    from notorch_tpu.nn.spatial.schnet import SchnetBlock
+
+    P, real_atoms = make_clouds(n_mols)
+    embed = PointwiseEmbed(num_types=16, hidden_dim=hidden)
+    block = SchnetBlock(hidden_dim=hidden, depth=depth, radius=radius, max_neighbors=K)
+    key = jax.random.PRNGKey(0)
+    ev = embed.init(key, P)
+    P1 = embed.apply(ev, P)
+    bv = block.init(key, P1)
+
+    def make_fwd(chain):
+        @jax.jit
+        def run(bv, P1):
+            def body(_, feats):
+                return block.apply(bv, P1.update(node_feats=feats)).node_feats
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, chain, body, P1.node_feats).astype(jnp.float32)
+            )
+
+        return lambda: run(bv, P1)
+
+    fbest, fchain = measure(make_fwd)
+    fwd_rate = real_atoms * K * depth * fchain / fbest
+
+    def make_train(chain):
+        @jax.jit
+        def run(bv, P1):
+            def step(params, _):
+                def loss(p):
+                    out = block.apply(p, P1)
+                    return jnp.sum(out.node_feats**2)
+
+                g = jax.grad(loss)(params)
+                # SGD-ish param math keeps the chain honest without optax state
+                return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g), ()
+
+            pN, _ = jax.lax.scan(step, bv, None, length=chain)
+            return jnp.sum(
+                jnp.asarray([jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)])
+            )
+
+        return lambda: run(bv, P1)
+
+    tbest, tchain = measure(make_train)
+    train_rate = real_atoms * K * depth * tchain / tbest
+    return {
+        "schnet_fwd_interactions_per_sec": round(fwd_rate, 1),
+        "schnet_train_interactions_per_sec": round(train_rate, 1),
+        "real_atoms": real_atoms,
+        "node_cap": int(P.num_nodes),
+        "K": K,
+        "depth": depth,
+        "hidden": hidden,
+    }
+
+
+def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16):
+    import jax
+    import jax.numpy as jnp
+
+    from notorch_tpu.nn.spatial.gvp import GvpGNNBlock
+
+    P, real_atoms = make_clouds(n_mols)
+    rng = np.random.default_rng(1)
+    P = P.update(
+        node_feats=jnp.asarray(
+            rng.normal(size=(P.num_nodes, scalar_dim)).astype(np.float32)
+        )
+    )
+    block = GvpGNNBlock(
+        scalar_dim=scalar_dim, vector_dim=vector_dim, depth=depth,
+        radius=5.0, max_neighbors=K,
+    )
+    bv = block.init(jax.random.PRNGKey(0), P)
+
+    def make_fwd(chain):
+        @jax.jit
+        def run(bv, P):
+            def body(_, feats):
+                return block.apply(bv, P.update(node_feats=feats)).node_feats
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, chain, body, P.node_feats).astype(jnp.float32)
+            )
+
+        return lambda: run(bv, P)
+
+    fbest, fchain = measure(make_fwd)
+    return {
+        "gvp_fwd_interactions_per_sec": round(
+            real_atoms * K * depth * fchain / fbest, 1
+        ),
+        "gvp_dims": [scalar_dim, vector_dim],
+    }
+
+
+def main():
+    import jax
+
+    out = {"device": jax.devices()[0].device_kind}
+    out.update(bench_schnet())
+    try:
+        out.update(bench_gvp())
+    except Exception as e:  # GVP variant surface may differ; SchNet is the row
+        out["gvp_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
