@@ -35,6 +35,7 @@ def build_spatial_model(
     depth: int = 3,
     radius: float = 5.0,
     max_neighbors: int = 16,
+    neighbor_window: int | None = None,
     aggregation: str = "sum",
     ffn_layers: int = 1,
     num_node_types: int = DEFAULT_NUM_ATOM_TYPES,
@@ -43,9 +44,13 @@ def build_spatial_model(
     transforms: dict | None = None,
     target_key: str = "targets.y",
 ) -> Model:
+    # neighbor_window: banded neighbor search — valid whenever every cloud
+    # has <= window+1 atoms (O(N*(2W+1)) distance work instead of O(N^2);
+    # see notorch_tpu.nn.spatial.neighbors.radius_neighbors)
     if backbone == "schnet":
         block = SchnetBlock(
-            hidden_dim=hidden_dim, depth=depth, radius=radius, max_neighbors=max_neighbors
+            hidden_dim=hidden_dim, depth=depth, radius=radius,
+            max_neighbors=max_neighbors, neighbor_window=neighbor_window,
         )
     elif backbone == "gvp":
         block = GvpGNNBlock(
@@ -54,6 +59,7 @@ def build_spatial_model(
             depth=depth,
             radius=radius,
             max_neighbors=max_neighbors,
+            neighbor_window=neighbor_window,
         )
     else:
         raise ValueError(f"unknown spatial backbone {backbone!r}")

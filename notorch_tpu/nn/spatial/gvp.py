@@ -162,6 +162,7 @@ class GvpConv(nn.Module):
     num_message_gvps: int = 3
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    neighbor_window: int | None = None
 
     @nn.compact
     def __call__(
@@ -172,7 +173,8 @@ class GvpConv(nn.Module):
     ):
         s, v = sv  # [N, ds], [N, 3, dv]
         nbrs, mask, dists = radius_neighbors(
-            P.coords, P.batch_index, self.radius, self.max_neighbors
+            P.coords, P.batch_index, self.radius, self.max_neighbors,
+            window=self.neighbor_window,
         )
         # edge features: RBF distances (scalar) + unit displacement (vector)
         rbf = RBFEmbedding(0.0, self.radius, self.num_bases)(dists)  # [N, K, nb]
@@ -222,6 +224,7 @@ class GvpGNNLayer(nn.Module):
     num_update_gvps: int = 2
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    neighbor_window: int | None = None
 
     @nn.compact
     def __call__(self, sv, P: BatchedPointCloud, training: bool = False):
@@ -232,6 +235,7 @@ class GvpGNNLayer(nn.Module):
             self.max_neighbors,
             dropout=self.dropout,
             dtype=self.dtype,
+            neighbor_window=self.neighbor_window,
             name="conv",
         )(sv, P, training=training)
         s, v = sv
@@ -255,6 +259,7 @@ class GvpGNNBlock(nn.Module):
     max_neighbors: int = 16
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    neighbor_window: int | None = None
 
     @nn.compact
     def __call__(self, P: BatchedPointCloud, training: bool = False) -> BatchedPointCloud:
@@ -269,6 +274,7 @@ class GvpGNNBlock(nn.Module):
                 self.max_neighbors,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                neighbor_window=self.neighbor_window,
                 name=f"layer_{i}",
             )(sv, P, training=training)
         return P.update(node_feats=sv[0])

@@ -34,13 +34,17 @@ class ContinuousFilterConvolution(nn.Module):
     num_bases: int = 16
     act: Callable = shifted_softplus
     dtype: Any = jnp.float32
+    # banded neighbor search (valid when every cloud has <= window+1 atoms;
+    # ~40x less distance work at molecular scale — see radius_neighbors)
+    neighbor_window: int | None = None
 
     @nn.compact
     def __call__(
         self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False
     ) -> jnp.ndarray:
         nbrs, mask, dists = radius_neighbors(
-            P.coords, P.batch_index, self.radius, self.max_neighbors
+            P.coords, P.batch_index, self.radius, self.max_neighbors,
+            window=self.neighbor_window,
         )
         rbf = RBFEmbedding(0.0, self.radius, self.num_bases)(dists)  # [N, K, nb]
         W = nn.Dense(self.hidden_dim, dtype=self.dtype, name="filter_0")(rbf)
@@ -62,6 +66,7 @@ class InteractionLayer(nn.Module):
     num_bases: int = 16
     act: Callable = shifted_softplus
     dtype: Any = jnp.float32
+    neighbor_window: int | None = None
 
     @nn.compact
     def __call__(
@@ -70,7 +75,7 @@ class InteractionLayer(nn.Module):
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(node_feats)
         h = ContinuousFilterConvolution(
             self.hidden_dim, self.radius, self.max_neighbors, self.num_bases, self.act,
-            self.dtype, name="cfconv",
+            self.dtype, neighbor_window=self.neighbor_window, name="cfconv",
         )(h, P, training=training)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj_0")(h)
         h = self.act(h)
@@ -88,6 +93,7 @@ class SchnetBlock(nn.Module):
     num_bases: int = 16
     act: Callable = shifted_softplus
     dtype: Any = jnp.float32
+    neighbor_window: int | None = None
 
     @nn.compact
     def __call__(self, P: BatchedPointCloud, training: bool = False) -> BatchedPointCloud:
@@ -95,7 +101,8 @@ class SchnetBlock(nn.Module):
         for i in range(self.depth):
             delta = InteractionLayer(
                 self.hidden_dim, self.radius, self.max_neighbors, self.num_bases, self.act,
-                self.dtype, name=f"interaction_{i}",
+                self.dtype, neighbor_window=self.neighbor_window,
+                name=f"interaction_{i}",
             )(node_feats, P, training=training)
             node_feats = node_feats + delta  # residual (reference wraps in Residual)
         return P.update(node_feats=node_feats)

@@ -58,7 +58,7 @@ def measure(run_scalar, target_seconds: float = 1.2):
     return best, chain
 
 
-def bench_schnet(n_mols=128, hidden=128, depth=3, K=16, radius=5.0):
+def bench_schnet(n_mols=128, hidden=128, depth=3, K=16, radius=5.0, window=25):
     import jax
     import jax.numpy as jnp
 
@@ -67,57 +67,114 @@ def bench_schnet(n_mols=128, hidden=128, depth=3, K=16, radius=5.0):
 
     P, real_atoms = make_clouds(n_mols)
     embed = PointwiseEmbed(num_types=16, hidden_dim=hidden)
-    block = SchnetBlock(hidden_dim=hidden, depth=depth, radius=radius, max_neighbors=K)
     key = jax.random.PRNGKey(0)
     ev = embed.init(key, P)
     P1 = embed.apply(ev, P)
-    bv = block.init(key, P1)
 
-    def make_fwd(chain):
-        @jax.jit
-        def run(bv, P1):
-            def body(_, feats):
-                return block.apply(bv, P1.update(node_feats=feats)).node_feats
+    def rates(block, tag):
+        bv = block.init(key, P1)
 
-            return jnp.sum(
-                jax.lax.fori_loop(0, chain, body, P1.node_feats).astype(jnp.float32)
-            )
+        # honest per-step accounting: fresh batches mean ONE neighbor build
+        # per step, so the chain must carry the coords (a tiny feats-coupled
+        # perturbation defeats XLA's loop-invariant hoisting of the build);
+        # a coords-invariant chain times the layer math alone.
+        def make_fwd_per_step(chain):
+            @jax.jit
+            def run(bv, P1):
+                def body(_, carry):
+                    feats, coords = carry
+                    out = block.apply(
+                        bv, P1.update(node_feats=feats, coords=coords)
+                    ).node_feats
+                    return out, coords + 1e-30 * out[:, :3]
 
-        return lambda: run(bv, P1)
+                fN, _ = jax.lax.fori_loop(
+                    0, chain, body, (P1.node_feats, P1.coords)
+                )
+                return jnp.sum(fN.astype(jnp.float32))
 
-    fbest, fchain = measure(make_fwd)
-    fwd_rate = real_atoms * K * depth * fchain / fbest
+            return lambda: run(bv, P1)
 
-    def make_train(chain):
-        @jax.jit
-        def run(bv, P1):
-            def step(params, _):
-                def loss(p):
-                    out = block.apply(p, P1)
-                    return jnp.sum(out.node_feats**2)
+        def make_fwd_hoisted(chain):
+            @jax.jit
+            def run(bv, P1):
+                def body(_, feats):
+                    return block.apply(bv, P1.update(node_feats=feats)).node_feats
 
-                g = jax.grad(loss)(params)
-                # SGD-ish param math keeps the chain honest without optax state
-                return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g), ()
+                return jnp.sum(
+                    jax.lax.fori_loop(0, chain, body, P1.node_feats).astype(jnp.float32)
+                )
 
-            pN, _ = jax.lax.scan(step, bv, None, length=chain)
-            return jnp.sum(
-                jnp.asarray([jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)])
-            )
+            return lambda: run(bv, P1)
 
-        return lambda: run(bv, P1)
+        pbest, pchain = measure(make_fwd_per_step)
+        hbest, hchain = measure(make_fwd_hoisted)
 
-    tbest, tchain = measure(make_train)
-    train_rate = real_atoms * K * depth * tchain / tbest
-    return {
-        "schnet_fwd_interactions_per_sec": round(fwd_rate, 1),
-        "schnet_train_interactions_per_sec": round(train_rate, 1),
+        def make_train(chain):
+            @jax.jit
+            def run(bv, P1):
+                def step(carry, _):
+                    params, coords = carry
+                    Pc = P1.update(coords=coords)
+
+                    def loss(p):
+                        out = block.apply(p, Pc)
+                        return jnp.sum(out.node_feats**2)
+
+                    g = jax.grad(loss)(params)
+                    new = jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g)
+                    # couple coords to the step so the neighbor build stays
+                    # inside the chain (as with fresh batches)
+                    c2 = coords + 1e-30 * jax.tree.leaves(g)[0].sum()
+                    return (new, c2), ()
+
+                (pN, _), _ = jax.lax.scan(
+                    step, (bv, P1.coords), None, length=chain
+                )
+                return jnp.sum(
+                    jnp.asarray(
+                        [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)]
+                    )
+                )
+
+            return lambda: run(bv, P1)
+
+        tbest, tchain = measure(make_train)
+        return {
+            f"schnet{tag}_fwd_interactions_per_sec": round(
+                real_atoms * K * depth * pchain / pbest, 1
+            ),
+            f"schnet{tag}_fwd_layers_only_interactions_per_sec": round(
+                real_atoms * K * depth * hchain / hbest, 1
+            ),
+            f"schnet{tag}_train_interactions_per_sec": round(
+                real_atoms * K * depth * tchain / tbest, 1
+            ),
+        }
+
+    out = {
         "real_atoms": real_atoms,
         "node_cap": int(P.num_nodes),
         "K": K,
         "depth": depth,
         "hidden": hidden,
+        "window": window,
     }
+    out.update(
+        rates(
+            SchnetBlock(hidden_dim=hidden, depth=depth, radius=radius,
+                        max_neighbors=K),
+            "",
+        )
+    )
+    out.update(
+        rates(
+            SchnetBlock(hidden_dim=hidden, depth=depth, radius=radius,
+                        max_neighbors=K, neighbor_window=window),
+            "_banded",
+        )
+    )
+    return out
 
 
 def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16):

@@ -225,3 +225,83 @@ def test_spatial_model_learns_geometry(rng):
             state, logs = model.train_step(state, batch)
             losses.append(float(logs["train/loss"]))
         assert losses[-1] < losses[0] * 0.35, (backbone, losses[0], losses[-1])
+
+
+def test_banded_neighbors_match_full():
+    """The banded neighbor search (window=W) equals the full N^2 search
+    whenever every cloud fits in the band — same indices (up to ties), same
+    masks, same distances."""
+    rng = np.random.default_rng(7)
+    from notorch_tpu.data.point_cloud import PointCloud, pad_point_clouds
+    from notorch_tpu.nn.spatial.neighbors import radius_neighbors
+
+    clouds = []
+    max_n = 0
+    for _ in range(9):
+        n = int(rng.integers(3, 14))
+        max_n = max(max_n, n)
+        coords = rng.uniform(0, (n * 8.0) ** (1 / 3), size=(n, 3)).astype(np.float32)
+        clouds.append(PointCloud(rng.integers(0, 5, (n, 1)).astype(np.int32), coords))
+    P = pad_point_clouds(clouds, node_cap=128, graph_cap=9)
+
+    real = np.asarray(P.node_mask)  # padding rows all sit at 1e9 and
+    # "neighbor" each other at d=0 (both paths) — tied, masked downstream
+    for K in (4, 8):
+        full = radius_neighbors(P.coords, P.batch_index, 5.0, K)
+        band = radius_neighbors(
+            P.coords, P.batch_index, 5.0, K, window=max_n - 1
+        )
+        np.testing.assert_array_equal(
+            np.asarray(band[1])[real], np.asarray(full[1])[real]
+        )
+        np.testing.assert_allclose(
+            np.asarray(band[2])[real], np.asarray(full[2])[real],
+            rtol=1e-6, atol=1e-7,
+        )
+        # indices agree as sets on real rows (ties permute within radius)
+        fm, bm = np.asarray(full[1]), np.asarray(band[1])
+        fi, bi = np.asarray(full[0]), np.asarray(band[0])
+        for row in np.nonzero(real)[0]:
+            assert set(fi[row][fm[row]]) == set(bi[row][bm[row]])
+
+
+def test_banded_schnet_matches_full():
+    """SchnetBlock(neighbor_window=W) output equals the full-search block
+    on the same params."""
+    from notorch_tpu.nn.spatial.pointwise import PointwiseEmbed
+    from notorch_tpu.nn.spatial.schnet import SchnetBlock
+
+    rng = np.random.default_rng(3)
+    P = _clouds(rng)
+    embed = PointwiseEmbed(num_types=50, hidden_dim=32)
+    key = jax.random.PRNGKey(0)
+    ev = embed.init(key, P)
+    P1 = embed.apply(ev, P)
+    full = SchnetBlock(hidden_dim=32, depth=2, radius=5.0, max_neighbors=8)
+    band = SchnetBlock(
+        hidden_dim=32, depth=2, radius=5.0, max_neighbors=8, neighbor_window=8
+    )
+    bv = full.init(key, P1)
+    out_full = np.asarray(full.apply(bv, P1).node_feats)
+    out_band = np.asarray(band.apply(bv, P1).node_feats)
+    np.testing.assert_allclose(out_band, out_full, rtol=1e-5, atol=1e-6)
+
+
+def test_banded_gvp_matches_full():
+    """GvpGNNBlock(neighbor_window=W) equals the full-search block on the
+    same params."""
+    from notorch_tpu.nn.spatial.gvp import GvpGNNBlock
+
+    rng = np.random.default_rng(5)
+    P = _clouds(rng)
+    P = P.update(node_feats=jnp.asarray(
+        rng.normal(size=(P.num_nodes, 8)).astype(np.float32)))
+    full = GvpGNNBlock(scalar_dim=16, vector_dim=4, depth=2, radius=5.0, max_neighbors=8)
+    band = GvpGNNBlock(
+        scalar_dim=16, vector_dim=4, depth=2, radius=5.0, max_neighbors=8,
+        neighbor_window=8,
+    )
+    bv = full.init(jax.random.PRNGKey(0), P)
+    out_full = np.asarray(full.apply(bv, P).node_feats)
+    out_band = np.asarray(band.apply(bv, P).node_feats)
+    np.testing.assert_allclose(out_band, out_full, rtol=1e-5, atol=1e-6)
