@@ -223,14 +223,14 @@ def _fast_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
         mols_per_tile=mols_per_tile, interpret=interpret,
         matmul_dtype=matmul_dtype,
     )
-    return out, (edge_hiddens, src, dst, edge_mask, weights)
+    return out, (edge_hiddens, src, dst, edge_mask, weights, biases)
 
 
 def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
               res, g):
-    h0, src, dst, edge_mask, weights = res
+    h0, src, dst, edge_mask, weights, biases = res
     g_h0, g_W, g_b = fused_dense_mpnn_block_bwd(
-        h0, src, dst, edge_mask, weights, g,
+        h0, src, dst, edge_mask, weights, biases, g,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
         matmul_dtype=matmul_dtype,
@@ -438,7 +438,8 @@ def fused_dense_mpnn_block_bwd_stash(
         raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
     if depth == 1:  # no stash exists; recompute backward does zero replay
         return fused_dense_mpnn_block_bwd(
-            h0, src, dst, edge_mask, weights, cotangent,
+            h0, src, dst, edge_mask, weights,
+            jnp.zeros((1, h0.shape[-1]), h0.dtype), cotangent,
             depth=depth, n_nodes=n_nodes, residual=residual,
             mols_per_tile=mols_per_tile, interpret=interpret,
             matmul_dtype=matmul_dtype,
@@ -531,6 +532,7 @@ def _bwd_kernel(
     emask_ref,  # [B, E] f32 (full)
     h0_ref,  # [NB, E, d] tile
     w_ref,  # [depth, d, d] (full)
+    b_ref,  # [depth, d] (full) — the replay needs the biases
     g_ref,  # [NB, E, d] cotangent tile
     gh_ref,  # out: [NB, E, d]
     gw_ref,  # out: [depth, d, d] (accumulated across tiles)
@@ -566,7 +568,10 @@ def _bwd_kernel(
 
     # forward recompute, keeping each layer's INPUT (static depth). The
     # reverse sweep reads hs[0..depth-1] only, so the last layer's output
-    # is never recomputed (2 matmuls saved per tile).
+    # is never recomputed (2 matmuls saved per tile). The replay MUST add
+    # the per-layer bias: omitting it (as before round 3) silently skewed
+    # every relu mask and weight grad once trained biases left zero —
+    # zero-init biases in the tests masked it.
     hs = [h]
     for l in range(depth - 1):
         m = jnp.maximum(hs[l], 0.0)
@@ -575,10 +580,14 @@ def _bwd_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(h.dtype).reshape(NB, E, d)
-        out = jax.lax.dot_general(
-            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(h.dtype) - pair_swap(mW)
+        out = (
+            jax.lax.dot_general(
+                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(h.dtype)
+            - pair_swap(mW)
+            + b_ref[l][None, None, :].astype(h.dtype)
+        )
         hs.append(hs[l] + out if residual else out)
 
     g = g_ref[:]
@@ -622,6 +631,7 @@ def fused_dense_mpnn_block_bwd(
     dst,
     edge_mask,
     weights,  # [depth, d, d]
+    biases,  # [depth, d]
     cotangent,  # [B, E, d]
     *,
     depth: int,
@@ -654,6 +664,7 @@ def fused_dense_mpnn_block_bwd(
             whole((B, E)),
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
             whole(tuple(weights.shape)),
+            whole((weights.shape[0], d)),
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
         ],
         out_specs=[
@@ -667,7 +678,7 @@ def fused_dense_mpnn_block_bwd(
             jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
         ],
         interpret=interpret,
-    )(src, dst, emask, edge_hiddens, weights, cotangent)
+    )(src, dst, emask, edge_hiddens, weights, biases, cotangent)
 
 
 @functools.partial(

@@ -217,9 +217,25 @@ def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16):
     }
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    """Exit cleanly if the device never responds — NEVER kill a
+    TPU-attached process from outside (wedges the device ~45 min)."""
+    import os
+    import threading
+
+    def die():
+        print(f"watchdog: no completion within {seconds}s; aborting", flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+
+
 def main():
     import jax
 
+    _arm_watchdog()
     out = {"device": jax.devices()[0].device_kind}
     out.update(bench_schnet())
     try:

@@ -117,10 +117,23 @@ def run_variant(variant, h0, src, dst, emask, Ws, bs, depth, tile):
     return best / chain
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    import threading
+
+    def die():
+        print(f"watchdog: no completion within {seconds}s; aborting", flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _arm_watchdog()
     from notorch_tpu.data.dense import pack_graphs_dense, plan_bins, pad_graphs_dense
     from notorch_tpu.nn.chemprop_dense import DenseChempropBlock, DenseGraphEmbedding
     from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol

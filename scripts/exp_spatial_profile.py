@@ -20,9 +20,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_spatial import make_clouds, measure  # noqa: E402
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    import threading
+
+    def die():
+        print(f"watchdog: no completion within {seconds}s; aborting", flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _arm_watchdog()
 
     from notorch_tpu.nn.spatial.neighbors import radius_neighbors
     from notorch_tpu.nn.spatial.pointwise import PointwiseEmbed

@@ -233,7 +233,10 @@ def test_pallas_backward_matches_jnp_autodiff():
     G = embed.apply(ev, dbg)
     bv = block.init(key, G)
     Ws = jnp.stack([bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)])
-    bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
+    # NONZERO biases: the recompute backward's forward replay must add the
+    # per-layer bias (it silently omitted it before round 3 — zero-init
+    # biases masked the bug)
+    bs = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (depth, d), jnp.float32)
     Gm = G.gather_matrix(jnp.float32)
     S = G.scatter_matrix(jnp.float32)
     h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
@@ -247,7 +250,7 @@ def test_pallas_backward_matches_jnp_autodiff():
     g_ref = jax.grad(fwd, argnums=(0, 1, 2))(h0, Ws, bs)
 
     g_h0, g_W, g_b = fused_dense_mpnn_block_bwd(
-        h0, G.src, G.dst, G.edge_mask, Ws, cot,
+        h0, G.src, G.dst, G.edge_mask, Ws, bs, cot,
         depth=depth, n_nodes=32, residual=True, mols_per_tile=2, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(g_h0), np.asarray(g_ref[0]), rtol=2e-4, atol=1e-5)
