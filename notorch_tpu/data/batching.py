@@ -72,6 +72,19 @@ class DataLoader:
         else:
             self.sampler = SequentialSampler(len(dataset))
         self.drop_last = drop_last
+        if layout not in ("flat", "dense", "dense_packed"):
+            # catch the layout="auto" foot-gun early: "auto" is a MODEL-side
+            # value (models/dmpnn.py:resolve_layout); a loader silently
+            # treating it as flat would feed flat batches to a dense model
+            # and die deep inside the module with an AttributeError
+            raise ValueError(
+                f"unknown DataLoader layout {layout!r}: expected 'flat', "
+                "'dense', or 'dense_packed'. The loader layout must match "
+                "the model's resolved layout — build_dmpnn(layout='auto') "
+                "resolves to 'dense_packed' when its constraints hold (see "
+                "notorch_tpu.models.dmpnn.resolve_layout), so pass "
+                "layout='dense_packed' here in that case."
+            )
         self.layout = layout
         self.csr_pack = csr_pack
         # dense_packed: target edge capacity per bin (raised to the batch

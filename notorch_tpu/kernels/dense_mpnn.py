@@ -10,12 +10,14 @@ state resident in VMEM:
 
 i.e. one round trip of the edge tensor for the whole block, instead of
 ~4 per layer. The scatter→gather pair (E→V segment-sum then V→E gather)
-is algebraically collapsed into ONE edge-to-edge operator
-``A[e,e'] = [src(e) == dst(e')] * mask(e')`` built in-register with a
-single VPU broadcast-compare (no one-hot matmuls), and the per-layer
-update uses the permutation identity ``(A@m - swap(m)) @ W =
-A@(mW) - swap(mW)`` so each layer is exactly two MXU contractions with
-good shapes: ``[NB*E, d] @ [d, d]`` and batched ``[E, E] @ [E, d]``
+AND the reverse-message subtraction are algebraically collapsed into ONE
+edge-to-edge operator ``A[e,e'] = [src(e) == dst(e')] * mask(e') *
+[e' != rev(e)]`` built in-register with broadcast compares (no one-hot
+matmuls; see :func:`_edge_adjacency` for the fold's exactness argument),
+and the per-layer update uses the permutation identity
+``(A@m - swap(m)) @ W = (A - R)@(mW)`` so each layer is exactly two MXU
+contractions with good shapes and NO elementwise shuffle serialized
+between them: ``[NB*E, d] @ [d, d]`` and batched ``[E, E] @ [E, d]``
 (E >= 128, vs the naive form's two V~80-dim contractions). The depth
 loop is unrolled statically (dynamic indexing of the stacked weights
 stresses Mosaic), and the small integer index arrays are passed whole
@@ -44,12 +46,29 @@ except Exception:  # pragma: no cover
 
 
 def _edge_adjacency(src, dst, emask, mm_dtype):
-    """``A[b,e,e'] = 1 iff src[e] == dst[e'] and e' is a real edge`` — the
-    collapsed scatter+gather operator, built with one broadcast compare."""
+    """``A[b,e,e'] = 1 iff src[e] == dst[e'], e' is a real edge, AND
+    e' != rev(e)`` — the collapsed scatter+gather operator with the
+    reverse-message subtraction FOLDED IN. Under the interleaved pair
+    layout ``rev(e) = e XOR 1``, and the rev diagonal of the unfolded
+    operator is 1 exactly on real pairs (``dst(rev(e)) == src(e)``), so
+    zeroing it deletes the naive form's per-layer ``- pair_swap(mW)``
+    shuffle: each layer is ONE batched [E,E]@[E,d] MXU contraction with
+    no elementwise chain serialized after it (round-3 ablation measured
+    that chain at ~36% of block time). Built with broadcast compares in
+    VMEM; never touches HBM.
+
+    Contract: kernel outputs on PADDED edge lanes differ from the
+    unfolded/jnp form (they no longer see the swap subtraction), and the
+    backward treats cotangents as supported on real lanes only — every
+    production consumer (masked scatter, masked readouts, masked losses)
+    satisfies both."""
+    NB, E = src.shape
     mask_ok = emask.astype(jnp.float32) > 0.0
-    return jnp.where(
-        (src[:, :, None] == dst[:, None, :]) & mask_ok[:, None, :], 1.0, 0.0
-    ).astype(mm_dtype)
+    e_i = jax.lax.broadcasted_iota(jnp.int32, (NB, E, E), 1)
+    e_j = jax.lax.broadcasted_iota(jnp.int32, (NB, E, E), 2)
+    rev_i = e_i + 1 - 2 * (e_i % 2)
+    keep = (src[:, :, None] == dst[:, None, :]) & mask_ok[:, None, :]
+    return jnp.where(keep & (e_j != rev_i), 1.0, 0.0).astype(mm_dtype)
 
 
 def _block_kernel(
@@ -78,11 +97,6 @@ def _block_kernel(
 
     A = _edge_adjacency(src, dst, emask, mm)
 
-    def pair_swap(x):
-        p = x.reshape(NB, E // 2, 2, d)
-        swapped = jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2)
-        return swapped.reshape(NB, E, d)
-
     for layer_idx in range(depth):  # static unroll
         m = jnp.maximum(h, 0.0)
         W = w_ref[layer_idx]
@@ -96,14 +110,17 @@ def _block_kernel(
             .astype(h.dtype)
             .reshape(NB, E, d)
         )
-        out = (
-            jax.lax.dot_general(
-                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(h.dtype)
-            - pair_swap(mW)
-            + bb[None, None, :]
-        )
+        # the reverse-message subtraction lives inside A (rev diagonal
+        # zeroed) — no pair_swap shuffle between the two matmuls.
+        # bias goes on the LEFT: Mosaic's ApplyVectorLayoutPass SIGABRTs
+        # (Check failed: limits[i] <= dim(i)) when a broadcasted vector is
+        # the RIGHT operand of an add whose left operand is a raw matmul
+        # result (round-3 bisect; round 2 dodged it because pair_swap sat
+        # in between)
+        out = bb[None, None, :] + jax.lax.dot_general(
+            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
         h = h + out if residual else out
 
     out_ref[:] = h
@@ -271,11 +288,6 @@ def _block_kernel_stash(
 
     A = _edge_adjacency(src, dst, emask, mm)
 
-    def pair_swap(x):
-        p = x.reshape(NB, E // 2, 2, d)
-        swapped = jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2)
-        return swapped.reshape(NB, E, d)
-
     for layer_idx in range(depth):
         if layer_idx > 0:  # h0 is the kernel input — never re-stashed
             hs_ref[layer_idx - 1] = h.astype(hs_ref.dtype)
@@ -289,14 +301,11 @@ def _block_kernel_stash(
             .astype(h.dtype)
             .reshape(NB, E, d)
         )
-        out = (
-            jax.lax.dot_general(
-                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(h.dtype)
-            - pair_swap(mW)
-            + b_ref[layer_idx][None, None, :]
-        )
+        # bias on the LEFT of the matmul result — see _block_kernel
+        out = b_ref[layer_idx][None, None, :] + jax.lax.dot_general(
+            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
         h = h + out if residual else out
 
     out_ref[:] = h
@@ -321,12 +330,6 @@ def _bwd_kernel_stash(
 
     A = _edge_adjacency(src, dst, emask, mm)
 
-    def pair_swap(x):
-        p = x.reshape(NB, E // 2, 2, d)
-        return jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2).reshape(
-            NB, E, d
-        )
-
     @pl.when(i == 0)
     def _init():
         gw_ref[:] = jnp.zeros_like(gw_ref)
@@ -337,10 +340,12 @@ def _bwd_kernel_stash(
         # compare/multiply in the compute dtype (bf16 stash is cast back)
         h_in = (h0_ref[:] if l == 0 else hs_ref[l - 1]).astype(dt)
         m = jnp.maximum(h_in, 0.0)
+        # the fold's VJP is one matmul too: g_mW = A'^T @ g (the swap term
+        # is inside A'; exact because cotangents are zero on padded lanes)
         g_mW = jax.lax.dot_general(
             A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dt) - pair_swap(g)
+        ).astype(dt)
         gw_ref[l] += jax.lax.dot_general(
             m.reshape(NB * E, d).astype(mm), g_mW.reshape(NB * E, d).astype(mm),
             (((0,), (0,)), ((), ())),
@@ -555,12 +560,6 @@ def _bwd_kernel(
 
     A = _edge_adjacency(src, dst, emask, mm)
 
-    def pair_swap(x):
-        p = x.reshape(NB, E // 2, 2, d)
-        return jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2).reshape(
-            NB, E, d
-        )
-
     @pl.when(i == 0)
     def _init():
         gw_ref[:] = jnp.zeros_like(gw_ref)
@@ -580,27 +579,24 @@ def _bwd_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(h.dtype).reshape(NB, E, d)
-        out = (
-            jax.lax.dot_general(
-                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(h.dtype)
-            - pair_swap(mW)
-            + b_ref[l][None, None, :].astype(h.dtype)
-        )
+        # bias on the LEFT of the matmul result — see _block_kernel
+        out = b_ref[l][None, None, :].astype(h.dtype) + jax.lax.dot_general(
+            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
         hs.append(hs[l] + out if residual else out)
 
     g = g_ref[:]
     for l in reversed(range(depth)):
         h_in = hs[l]
         m = jnp.maximum(h_in, 0.0)
-        # cotangent on mW: A^T @ g - swap(g)  (swap is its own transpose)
+        # cotangent on mW: A'^T @ g — the swap term is folded into A'
+        # (exact because cotangents are zero on padded lanes)
         g_mW = jax.lax.dot_general(
             A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(h.dtype) - pair_swap(g)
+        ).astype(h.dtype)
         # weight/bias grads: accumulate across tiles. g_W = m^T @ g_mW
-        # (== em^T @ g of the naive form, since swap^T == swap)
         gw_ref[l] += jax.lax.dot_general(
             m.reshape(NB * E, d).astype(mm), g_mW.reshape(NB * E, d).astype(mm),
             (((0,), (0,)), ((), ())),
@@ -783,11 +779,6 @@ def _encoder_body(
 
     A = _edge_adjacency(src, dst, emask, mm)
 
-    def pair_swap(x):
-        p = x.reshape(NB, E // 2, 2, d)
-        swapped = jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2)
-        return swapped.reshape(NB, E, d)
-
     for layer_idx in range(depth):
         if hs_ref is not None and layer_idx > 0:
             hs_ref[layer_idx - 1] = h.astype(hs_ref.dtype)
@@ -801,14 +792,11 @@ def _encoder_body(
             .astype(dt)
             .reshape(NB, E, d)
         )
-        out = (
-            jax.lax.dot_general(
-                A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(dt)
-            - pair_swap(mW)
-            + b_ref[layer_idx][None, None, :]
-        )
+        # bias on the LEFT of the matmul result — see _block_kernel
+        out = b_ref[layer_idx][None, None, :] + jax.lax.dot_general(
+            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
         h = h + out if residual else out
 
     eh_ref[:] = h
@@ -861,12 +849,6 @@ def _encoder_bwd_kernel(
     ).astype(mm)
     A = _edge_adjacency(src, dst, emask, mm)
 
-    def pair_swap(x):
-        p = x.reshape(NB, E // 2, 2, d)
-        return jnp.concatenate([p[:, :, 1:2, :], p[:, :, 0:1, :]], axis=2).reshape(
-            NB, E, d
-        )
-
     @pl.when(i == 0)
     def _init():
         gw_ref[:] = jnp.zeros_like(gw_ref)
@@ -895,7 +877,7 @@ def _encoder_bwd_kernel(
         g_mW = jax.lax.dot_general(
             A, g.astype(mm), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(dt) - pair_swap(g)
+        ).astype(dt)
         gw_ref[l] += jax.lax.dot_general(
             m.reshape(NB * E, d).astype(mm), g_mW.reshape(NB * E, d).astype(mm),
             (((0,), (0,)), ((), ())),

@@ -241,7 +241,10 @@ def test_pallas_backward_matches_jnp_autodiff():
     S = G.scatter_matrix(jnp.float32)
     h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
 
+    # cotangent supported on REAL lanes: the folded kernel's VJP contract
+    # (every production consumer masks padded edge lanes)
     cot = jax.random.normal(jax.random.PRNGKey(9), h0.shape, h0.dtype)
+    cot = cot * G.edge_mask.astype(h0.dtype)[..., None]
 
     def fwd(h0, Ws, bs):
         hs = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
@@ -335,9 +338,12 @@ def test_stash_forward_and_grads_match():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5)
     hs_ref = _jnp_forward_collect(h0, S, Gm, Ws, bs, depth, True)
     assert hs.shape[0] == depth - 1  # h0 is never duplicated into the stash
+    em = np.asarray(G.edge_mask)
     for l in range(1, depth):  # stashed hidden-layer inputs h1..h_{depth-1}
+        # real lanes only: the folded kernel's padded-lane values differ
+        # from the jnp form by design (no swap subtraction there)
         np.testing.assert_allclose(
-            np.asarray(hs[l - 1]), np.asarray(hs_ref[l]), rtol=1e-4, atol=1e-4
+            np.asarray(hs[l - 1])[em], np.asarray(hs_ref[l])[em], rtol=1e-4, atol=1e-4
         )
 
     def loss_stash(h0, Ws, bs):
