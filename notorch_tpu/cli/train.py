@@ -526,6 +526,7 @@ def run(cfg: dict) -> dict:
             remat=model_cfg.get("remat", False),
             impl=model_cfg.get("impl", "gather"),
             aggregation=model_cfg.get("aggregation", "mean"),
+            reduce=model_cfg.get("reduce", "sum"),
         )
         cfg = dict(cfg)
         cfg["model"] = model_cfg

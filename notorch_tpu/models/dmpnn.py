@@ -49,6 +49,7 @@ def resolve_layout(
     remat: bool = False,
     impl: str = "gather",
     aggregation: str = "mean",
+    reduce: str = "sum",
 ) -> str:
     """Pick the fastest D-MPNN layout whose constraints hold.
 
@@ -68,7 +69,12 @@ def resolve_layout(
     Every documented ``aggregation`` (sum/mean/max/gated/sdp) is implemented
     for every layout, so the readout never constrains the choice; the
     parameter is accepted for validation (unknown names fail HERE, with the
-    option list, rather than as a KeyError mid-build).
+    option list, rather than as a KeyError mid-build). Likewise every
+    ``reduce`` (sum/mean/max message passing — reference
+    ``notorch/nn/gnn/chemprop.py:25,39``) works on every layout: the auto
+    path stays ``dense_packed`` for mean/max, with ``build_dmpnn`` routing
+    the block itself to the jnp :class:`DenseChempropBlock` (the fused
+    Pallas kernel's collapsed operator is a sum).
 
     Explicit layouts pass through unchanged.
     """
@@ -76,6 +82,8 @@ def resolve_layout(
         raise ValueError(
             f"unknown aggregation {aggregation!r}; options: {sorted(AGGREGATIONS)}"
         )
+    if reduce not in ("sum", "mean", "max"):
+        raise ValueError(f"unknown reduce {reduce!r}; options: ['max', 'mean', 'sum']")
     if layout != "auto":
         return layout
     if graph_axis is not None or remat or impl != "gather":
@@ -97,6 +105,7 @@ def build_dmpnn(
     depth: int = 3,
     dropout: float = 0.0,
     aggregation: str = "mean",
+    reduce: str = "sum",
     ffn_layers: int = 1,
     learning_rate: float = 1e-4,
     optimizer: optax.GradientTransformation | None = None,
@@ -148,7 +157,7 @@ def build_dmpnn(
         dtype = jnp.dtype(dtype)
     layout = resolve_layout(
         layout, dropout=dropout, dtype=dtype, graph_axis=graph_axis,
-        remat=remat, impl=impl, aggregation=aggregation,
+        remat=remat, impl=impl, aggregation=aggregation, reduce=reduce,
     )
     if graph_axis is not None and layout != "flat":
         raise ValueError(
@@ -224,20 +233,29 @@ def build_dmpnn(
                     "the fused Pallas block does not support edge dropout; "
                     "use layout='dense' (or layout='auto', which selects it)"
                 )
+            if reduce != "sum":
+                raise ValueError(
+                    "the fused Pallas block implements reduce='sum'; use "
+                    "layout='dense'/'dense_packed' (or 'auto') for mean/max"
+                )
             mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
         elif layout == "dense_packed":
             # bin-packed bins run through the SAME kernels (node-id offsets
             # keep the in-VMEM one-hot compares molecule-local); per-molecule
-            # readout segment-sums over node_graph
-            if dropout and dropout > 0.0:
+            # readout segment-sums over node_graph. Dropout and mean/max
+            # reduce run the jnp block over the same packed bins (the fused
+            # kernel's collapsed operator is a sum and has no dropout).
+            if (dropout and dropout > 0.0) or reduce != "sum":
                 mp_mod = DenseChempropBlock(
-                    hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
+                    hidden_dim=hidden_dim, depth=depth, dropout=dropout,
+                    reduce=reduce, dtype=dtype,
                 )
             else:
                 mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
         else:
             mp_mod = DenseChempropBlock(
-                hidden_dim=hidden_dim, depth=depth, dropout=dropout, dtype=dtype
+                hidden_dim=hidden_dim, depth=depth, dropout=dropout,
+                reduce=reduce, dtype=dtype,
             )
         readout_mod = (
             packed_aggs[aggregation] if layout == "dense_packed"
@@ -246,6 +264,11 @@ def build_dmpnn(
     else:
         embed_mod = GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs)
         if partition == "halo" and graph_axis is not None:
+            if reduce != "sum":
+                raise ValueError(
+                    "the halo message-passing block implements reduce='sum' "
+                    "(its boundary exchange accumulates partial sums)"
+                )
             # boundary halo exchange for graphs that exceed a shard: embed
             # duck-types HaloShard batches (parallel.partition.
             # build_halo_spmd_batch), the block exchanges only boundary rows
@@ -262,6 +285,7 @@ def build_dmpnn(
                 hidden_dim=hidden_dim,
                 depth=depth,
                 dropout=dropout,
+                reduce=reduce,
                 dtype=dtype,
                 psum_axis=mp_psum_axis,
                 remat=remat,

@@ -138,7 +138,12 @@ def _node_reduce(messages, G: BatchedGraph, reduce: str, impl: str):
         valid = (G.in_edges < messages.shape[0])[..., None]
         if reduce == "mean":
             return gathered.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
-        return jnp.where(valid, gathered, -jnp.inf).max(axis=1).clip(min=0.0)
+        # match segment_max semantics (nn/ops.py): empty segments -> 0,
+        # negative maxima preserved (a clip(min=0) here would diverge from
+        # impl="segment" on the block's FINAL reduce, whose input is the
+        # un-activated edge_hiddens)
+        out = jnp.where(valid, gathered, -jnp.inf).max(axis=1)
+        return jnp.where(jnp.isneginf(out), 0.0, out)
     return segment_reduce(messages, G.dst, G.num_nodes, reduce)
 
 

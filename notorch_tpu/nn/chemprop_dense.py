@@ -79,10 +79,31 @@ class DenseChempropBlock(nn.Module):
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
-        if self.reduce != "sum":
-            raise NotImplementedError("dense layout implements reduce='sum'")
+        if self.reduce not in ("sum", "mean", "max"):
+            raise NotImplementedError(f"unknown reduce {self.reduce!r}")
         S = G.scatter_matrix(self.dtype)  # [B, V, E]
         Gm = G.gather_matrix(self.dtype)  # [B, E, V]
+
+        def node_reduce(m):
+            """E -> V reduce matching the flat layout's segment semantics
+            (nn/chemprop.py::_node_reduce / nn/ops.py): mean divides by the
+            real in-degree (floor 1), max over real in-edges with empty
+            segments -> 0. Sum/mean stay MXU contractions; max runs one
+            segment_max over the flattened batch."""
+            if self.reduce == "sum":
+                return jnp.einsum("bve,bed->bvd", S, m)
+            if self.reduce == "mean":
+                counts = S.sum(axis=-1)[..., None]  # real in-degree [B, V, 1]
+                return jnp.einsum("bve,bed->bvd", S, m) / jnp.maximum(counts, 1.0)
+            from notorch_tpu.nn.ops import segment_max
+
+            B, E, d = m.shape
+            V = G.nodes_per_graph
+            ids = jnp.where(
+                G.edge_mask, G.dst + V * jnp.arange(B, dtype=G.dst.dtype)[:, None], B * V
+            ).reshape(-1)
+            out = segment_max(m.reshape(B * E, d), ids, B * V + 1)
+            return out[: B * V].reshape(B, V, d)
 
         node_feats = G.node_feats.astype(self.dtype)
         edge_hiddens = (
@@ -100,12 +121,12 @@ class DenseChempropBlock(nn.Module):
 
         for n in names:
             m = self.act(edge_hiddens)  # [B, E, d]
-            node_messages = jnp.einsum("bve,bed->bvd", S, m)
+            node_messages = node_reduce(m)
             edge_messages = jnp.einsum("bev,bvd->bed", Gm, node_messages) - rev_pair_swap(m)
             out = drop(layers[n](edge_messages))
             edge_hiddens = edge_hiddens + out if self.residual else out
 
-        node_hiddens = jnp.einsum("bve,bed->bvd", S, edge_hiddens)
+        node_hiddens = node_reduce(edge_hiddens)
         return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
 
 
@@ -141,7 +162,14 @@ def fused_block_apply(
     """Inference fast path: run a :class:`DenseChempropBlock`'s computation
     through the fused Pallas kernel (one VMEM-resident kernel for the whole
     block; see ``notorch_tpu.kernels.dense_mpnn``). Forward-only — use the
-    module itself for training."""
+    module itself for training.
+
+    Padded-lane contract: the kernel folds the reverse-message subtraction
+    into its edge-to-edge operator, so the returned ``edge_feats`` on PADDED
+    edge lanes differ from the jnp layouts (they never see the swap
+    subtraction). Real lanes agree exactly; consume ``edge_feats`` through a
+    mask (as the masked scatter here and every shipped readout/loss does) —
+    reading padded lanes unmasked will diverge from the jnp layouts."""
     from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
 
     params = variables["params"]
@@ -182,12 +210,26 @@ class FusedDenseChempropBlock(nn.Module):
 
     Dropout is not supported inside the fused kernel; use the jnp
     :class:`DenseChempropBlock` when training with edge dropout.
+
+    Padded-lane contract (kernels.dense_mpnn._edge_adjacency): the fused
+    kernels fold the reverse-message subtraction into the edge-to-edge
+    operator, which changes the returned ``edge_feats`` on PADDED edge lanes
+    relative to the jnp layouts; gradients additionally treat cotangents as
+    supported on real lanes only. Real-lane values and gradients agree with
+    the jnp layouts exactly. Every in-tree consumer (the masked scatter
+    below, masked readouts, masked losses) satisfies both conditions — a
+    custom module reading ``G.edge_feats`` after this block must apply
+    ``G.edge_mask`` before comparing across layouts.
     """
 
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     depth: int = 3
     residual: bool = True
     bias: bool = True
+    # the kernel's collapsed edge-to-edge operator is a sum; mean/max
+    # message passing routes to DenseChempropBlock (models/dmpnn.py does
+    # this automatically for build_dmpnn(reduce=...))
+    reduce: str = "sum"
     mols_per_tile: int = 8
     # backward pass strategy:
     #   "stash"     — Pallas backward reading per-layer residuals the forward
@@ -216,6 +258,12 @@ class FusedDenseChempropBlock(nn.Module):
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
+        if self.reduce != "sum":
+            raise NotImplementedError(
+                "the fused Pallas block implements reduce='sum' (its collapsed "
+                "edge-to-edge operator is a sum); use DenseChempropBlock — "
+                "build_dmpnn(reduce=...) routes there automatically"
+            )
         from notorch_tpu.kernels.dense_mpnn import (
             fused_dense_encoder,
             fused_dense_mpnn_block_trainable,

@@ -39,12 +39,31 @@ __all__ = [
 
 
 def masked_reduce(loss, mask=None, sample_weights=None):
-    if sample_weights is not None:
-        loss = loss * sample_weights[:, None]
-    if mask is None:
+    """Masked, sample-weighted MEAN of an elementwise loss.
+
+    Semantics (pinned by ``tests/test_task_types.py::
+    test_masked_reduce_weighted_mean``): the result is a true weighted mean,
+    ``sum(w * m * loss) / sum(w * m)`` — the normalizer includes the sample
+    weights, with and without a mask, so weights re-weight samples rather
+    than re-scale the loss. The reference's ``_reduce`` (loss.py:51-60)
+    multiplies by the weights but normalizes by the element count (weights
+    change the scale, not the weighting) and carries an ``unsqueeze(0)``
+    broadcasting bug besides — deliberately not matched.
+
+    ``sample_weights`` is per-sample ``[B]``, broadcast over trailing task
+    dims; masked elements contribute nothing, which keeps batch padding free.
+    """
+    if mask is None and sample_weights is None:
         return loss.mean()
-    mask = mask.astype(loss.dtype)
-    return (loss * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    w = (
+        jnp.ones_like(loss)
+        if mask is None
+        else jnp.broadcast_to(mask.astype(loss.dtype), loss.shape)
+    )
+    if sample_weights is not None:
+        sw = jnp.reshape(sample_weights, sample_weights.shape + (1,) * (loss.ndim - 1))
+        w = w * sw.astype(loss.dtype)
+    return (loss * w).sum() / jnp.maximum(w.sum(), 1e-9)
 
 
 @dataclass(frozen=True)

@@ -16,6 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _arm_watchdog(seconds: int = 1500) -> None:
+    """LAST-RESORT safety timer. os._exit while a remote Mosaic compile or
+    dispatch is still queued can wedge the tunneled TPU for ~45 min
+    (CLAUDE.md hazard 3) — the watchdog exists for runs that would otherwise
+    hang FOREVER (a hung remote compile holds no queued device work), where
+    wedging is the lesser evil vs. a permanently stuck session. Prefer
+    sizing probes to finish on their own; only the timer may call _exit."""
     def die():
         print(f"watchdog: abort after {seconds}s", flush=True)
         os._exit(3)

@@ -543,3 +543,84 @@ def test_fused_module_stash_backward_trains():
         ),
         g_r, g_s,
     )
+
+
+def _jnp_folded_forward(h0, src, dst, edge_mask, Ws, bs, depth, residual=True):
+    """The FOLDED recurrence in plain jnp: A'[e,e'] = [src(e)==dst(e')] *
+    real(e') * [e' != rev(e)] — exactly what the Pallas kernels compute,
+    including on padded lanes (where it differs from the unfolded form by
+    the missing swap subtraction)."""
+    B, E = src.shape
+    e = jnp.arange(E)
+    rev = e + 1 - 2 * (e % 2)
+    keep = (src[:, :, None] == dst[:, None, :]) & edge_mask[:, None, :]
+    A = jnp.where(keep & (e[None, :] != rev[:, None])[None], 1.0, 0.0).astype(h0.dtype)
+    h = h0
+    for l in range(depth):
+        m = jnp.maximum(h, 0.0)
+        out = jnp.einsum("bef,bfd->bed", A, m @ Ws[l]) + bs[l]
+        h = h + out if residual else out
+    return h
+
+
+def test_pallas_backwards_are_exact_vjp_of_folded_forward():
+    """The Pallas backwards (recompute AND stash) are the exact VJP of the
+    kernel's own FOLDED forward for an ARBITRARY (unmasked) cotangent — not
+    just for cotangents supported on real lanes. (The jnp-reference parity
+    test above masks the cotangent because the UNFOLDED jnp form differs on
+    padded lanes; this pins the folded kernel's self-consistency.)"""
+    from notorch_tpu.kernels.dense_mpnn import (
+        fused_dense_mpnn_block,
+        fused_dense_mpnn_block_bwd,
+        fused_dense_mpnn_block_bwd_stash,
+        fused_dense_mpnn_block_stash,
+    )
+
+    graphs = [PIPE(s) for s in SMIS]
+    d, depth = 32, 3
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(5)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    Ws = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (depth, d, d), jnp.float32)
+    bs = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (depth, d), jnp.float32)
+    Gm = G.gather_matrix(jnp.float32)
+    h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+
+    # the folded jnp reference IS the kernel forward, on every lane
+    out_k = fused_dense_mpnn_block(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=32, mols_per_tile=2, interpret=True,
+    )
+    out_j = _jnp_folded_forward(h0, G.src, G.dst, G.edge_mask, Ws, bs, depth)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_j), rtol=1e-5, atol=1e-5)
+
+    # UNMASKED cotangent — padded lanes included
+    cot = jax.random.normal(jax.random.PRNGKey(9), h0.shape, h0.dtype)
+
+    def fwd(h0, Ws, bs):
+        return (
+            _jnp_folded_forward(h0, G.src, G.dst, G.edge_mask, Ws, bs, depth) * cot
+        ).sum()
+
+    g_ref = jax.grad(fwd, argnums=(0, 1, 2))(h0, Ws, bs)
+
+    g_rec = fused_dense_mpnn_block_bwd(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs, cot,
+        depth=depth, n_nodes=32, mols_per_tile=2, interpret=True,
+    )
+    _, hs = fused_dense_mpnn_block_stash(
+        h0, G.src, G.dst, G.edge_mask, Ws, bs,
+        depth=depth, n_nodes=32, mols_per_tile=2, interpret=True,
+    )
+    g_sta = fused_dense_mpnn_block_bwd_stash(
+        h0, hs, G.src, G.dst, G.edge_mask, Ws, cot,
+        depth=depth, n_nodes=32, mols_per_tile=2, interpret=True,
+    )
+    for name, got in (("recompute", g_rec), ("stash", g_sta)):
+        for a, b in zip(got, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4,
+                err_msg=f"{name} backward is not the exact VJP of the folded forward",
+            )

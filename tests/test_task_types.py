@@ -121,3 +121,38 @@ def test_loss_weighting():
     state, logs = model.train_step(state, batch)
     expected = 2.0 * float(logs["train/mse"]) + 0.5 * float(logs["train/mae"])
     np.testing.assert_allclose(float(logs["train/loss"]), expected, rtol=1e-5)
+
+
+def test_masked_reduce_weighted_mean():
+    """Pins the weighted-MEAN semantics of masked_reduce: sample weights
+    appear in the normalizer (true weighted mean), with and without a mask —
+    unlike the reference's _reduce (loss.py:51-60), which normalizes by the
+    element count so weights rescale rather than reweight."""
+    import jax.numpy as jnp
+
+    from notorch_tpu.tasks.losses import masked_reduce
+
+    loss = jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    w = jnp.asarray([1.0, 2.0, 0.0])
+    mask = jnp.asarray([[1, 1], [1, 0], [1, 1]], bool)
+
+    # unweighted, unmasked: plain mean
+    np.testing.assert_allclose(float(masked_reduce(loss)), 3.5)
+    # mask only: mean over unmasked elements (unchanged semantics)
+    np.testing.assert_allclose(
+        float(masked_reduce(loss, mask=mask)), (1 + 2 + 3 + 5 + 6) / 5
+    )
+    # weights only: weighted mean — zero-weight samples drop out entirely
+    np.testing.assert_allclose(
+        float(masked_reduce(loss, sample_weights=w)),
+        (1 * 1 + 1 * 2 + 2 * 3 + 2 * 4) / (2 * 1 + 2 * 2),
+    )
+    # both: normalizer is sum(w * mask)
+    np.testing.assert_allclose(
+        float(masked_reduce(loss, mask=mask, sample_weights=w)),
+        (1 * 1 + 1 * 2 + 2 * 3) / (1 + 1 + 2),
+    )
+    # all-masked: defined (0), not NaN
+    np.testing.assert_allclose(
+        float(masked_reduce(loss, mask=jnp.zeros_like(mask))), 0.0
+    )
