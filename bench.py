@@ -74,9 +74,12 @@ def _torch_cpu_baseline(bg, d: int, depth: int, iters: int = 5) -> float:
     return real_edges * depth / dt
 
 
-def _measure_chain(run_scalar, target_seconds: float = 1.5):
+def _measure_chain(run_scalar, target_seconds: float = 1.5, samples: int = 4):
     """run_scalar(chain) -> jitted callable returning a scalar; returns
-    (best_dt, chain)."""
+    (best_dt, chain, sample_dts). Best-of-N with the raw samples kept:
+    tunnel round-trip variance moved same-round headline numbers by ~8%
+    between measurements (round-3 verdict weak #6), so the spread is part
+    of the result, not noise to discard."""
     probe = run_scalar(10)
     float(probe())  # compile + warm
     t0 = time.perf_counter()
@@ -85,12 +88,19 @@ def _measure_chain(run_scalar, target_seconds: float = 1.5):
     chain = max(20, min(3000, int(target_seconds / max(dt10 / 10, 1e-5))))
     run = run_scalar(chain)
     float(run())
-    best = float("inf")
-    for _ in range(2):
+    dts = []
+    for _ in range(samples):
         t0 = time.perf_counter()
         float(run())
-        best = min(best, time.perf_counter() - t0)
-    return best, chain
+        dts.append(time.perf_counter() - t0)
+    return min(dts), chain, dts
+
+
+def _spread(samples) -> float | None:
+    """(max-min)/min as a percentage — the run-to-run envelope."""
+    if not samples:
+        return None
+    return round(100.0 * (max(samples) - min(samples)) / min(samples), 1)
 
 
 def _arm_watchdog(seconds: int = 2400) -> None:
@@ -259,8 +269,9 @@ def main() -> None:
 
             return lambda: run(Ws, bs)
 
-        best, chain = _measure_chain(make_run)
+        best, chain, dts = _measure_chain(make_run)
         edges_per_sec = real_edges * depth * chain / best
+        fwd_samples = [round(real_edges * depth * chain / dt, 1) for dt in dts]
 
         # %-of-roofline at the measured padding mix (HBM/MXU lower bound)
         kind = jax.devices()[0].device_kind
@@ -292,8 +303,9 @@ def main() -> None:
             return lambda: run(Ws, bs)
 
         try:
-            tbest, tchain = _measure_chain(make_train)
+            tbest, tchain, tdts = _measure_chain(make_train)
             train_edges_per_sec = round(real_edges * depth * tchain / tbest, 1)
+            train_samples = [round(real_edges * depth * tchain / dt, 1) for dt in tdts]
             t_sol_train = _roofline_seconds(prepped, hidden, depth, kind, train=True)
             train_pct_of_roofline = round(
                 100.0 * t_sol_train / (tbest / tchain), 1
@@ -301,11 +313,14 @@ def main() -> None:
         except Exception:
             train_edges_per_sec = None
             train_pct_of_roofline = None
+            train_samples = None
     except Exception:
         edges_per_sec = None
         pct_of_roofline = None
         train_edges_per_sec = None
         train_pct_of_roofline = None
+        fwd_samples = None
+        train_samples = None
 
     if edges_per_sec is None:
         # fallback: flat XLA segment path
@@ -330,11 +345,13 @@ def main() -> None:
 
             return lambda: run(bv2, G2)
 
-        best, chain = _measure_chain(make_run)
+        best, chain, dts = _measure_chain(make_run)
         edges_per_sec = real_edges * depth * chain / best
+        fwd_samples = [round(real_edges * depth * chain / dt, 1) for dt in dts]
         pct_of_roofline = None
         train_edges_per_sec = None
         train_pct_of_roofline = None
+        train_samples = None
 
     # flat padded batch reused for the torch baseline topology
     total_v = sum(g.num_nodes for g in graphs) + 1
@@ -364,6 +381,13 @@ def main() -> None:
                 # north star "speed-of-light per chip" as a number
                 "pct_of_roofline": pct_of_roofline,
                 "train_pct_of_roofline": train_pct_of_roofline,
+                # best-of-N raw samples + spread: tunnel variance moved
+                # same-round numbers ~8%; cross-round deltas smaller than
+                # the spread are not real
+                "fwd_samples_edges_per_sec": fwd_samples,
+                "train_samples_edges_per_sec": train_samples,
+                "fwd_spread_pct": _spread(fwd_samples),
+                "train_spread_pct": _spread(train_samples),
             }
         )
     )

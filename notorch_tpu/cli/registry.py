@@ -4,15 +4,35 @@ The reference's UX is "models as config files" via Hydra ``_target_`` paths
 (reference cli/train.py:17-37). Here the registry plays that role: every
 module, loss, metric, transform, aggregation, router, and optimizer the
 framework ships is constructible by name from YAML/JSON.
+
+User extension (parity with Hydra ``_target_`` instantiation, reference
+``cli/utils/instantiate.py:9-43``): a DOTTED name (``mypkg.blocks.MyBlock``)
+resolves by import — so configs can name classes the registry has never
+heard of — behind a safety gate: instantiating an arbitrary import path from
+a config file is code execution, so it is opt-in via
+:func:`allow_imports` (the CLI's ``--trust-imports`` / config
+``trust_imports: true``) or by listing trusted top-level packages in the
+``NOTORCH_TPU_TRUSTED_MODULES`` env var (comma-separated). Hydra itself has
+no such gate; we refuse by default.
 """
 
 from __future__ import annotations
 
+import importlib
+import os
 from typing import Any, Callable
 
 import optax
 
 REGISTRY: dict[str, Callable] = {}
+
+_ALLOW_IMPORTS = False
+
+
+def allow_imports(flag: bool = True) -> None:
+    """Globally permit dotted-path config resolution (see module docstring)."""
+    global _ALLOW_IMPORTS
+    _ALLOW_IMPORTS = bool(flag)
 
 
 def register(name: str, fn: Callable | None = None):
@@ -27,13 +47,37 @@ def register(name: str, fn: Callable | None = None):
     return deco
 
 
+def _resolve_import(path: str) -> Callable:
+    top = path.split(".", 1)[0]
+    trusted = {
+        r.strip()
+        for r in os.environ.get("NOTORCH_TPU_TRUSTED_MODULES", "").split(",")
+        if r.strip()
+    }
+    if not (_ALLOW_IMPORTS or top in trusted):
+        raise PermissionError(
+            f"config names the import path {path!r}, but arbitrary-class "
+            "instantiation is disabled (it executes code named by the "
+            "config). Enable it with notorch_tpu.cli.registry.allow_imports()"
+            ", the CLI's --trust-imports / trust_imports: true, or list "
+            f"trusted packages in NOTORCH_TPU_TRUSTED_MODULES (e.g. {top!r})."
+        )
+    module_path, _, attr = path.rpartition(".")
+    obj = importlib.import_module(module_path)
+    try:
+        return getattr(obj, attr)
+    except AttributeError:
+        raise KeyError(f"module {module_path!r} has no attribute {attr!r}") from None
+
+
 def resolve(name: str) -> Callable:
     try:
         return REGISTRY[name]
     except KeyError:
-        raise KeyError(
-            f"unknown component {name!r}; known: {sorted(REGISTRY)}"
-        ) from None
+        pass
+    if "." in name:
+        return _resolve_import(name)
+    raise KeyError(f"unknown component {name!r}; known: {sorted(REGISTRY)}")
 
 
 def build(spec: dict | str) -> Any:
@@ -97,6 +141,7 @@ def _populate() -> None:
         rbf.RBFEmbedding,
         attention.GATv2Layer,
         attention.GraphSelfAttention,
+        attention.GATBlock,
         moe.MixtureOfExperts,
         moe.MoEMLP,
         moe.DenseRouter,

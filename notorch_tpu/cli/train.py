@@ -201,6 +201,12 @@ def build_model(cfg: dict, transforms: dict | None, optimizer):
         from notorch_tpu.models.spatial import build_spatial_model
 
         return build_spatial_model(transforms=transforms, optimizer=optimizer, **kwargs)
+    if kind in ("gat", "graph_transformer"):
+        from notorch_tpu.models.gat import build_gat
+
+        if kind == "graph_transformer":
+            kwargs.setdefault("attention", "sdp")
+        return build_gat(transforms=transforms, optimizer=optimizer, **kwargs)
     raise ValueError(f"unknown model kind {kind!r}")
 
 
@@ -219,6 +225,14 @@ class _PretrainLoader:
         self.shuffle = shuffle
         self._epoch = 0
         self._rg = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        # epoch-keyed masking + shuffle: fit(resume=True) can re-derive any
+        # epoch's batch sequence without replaying the previous ones
+        import numpy as np
+
+        self._epoch = int(epoch)
+        self._rg = np.random.default_rng((self.seed, int(epoch)))
 
     def __len__(self):
         return -(-len(self.graphs) // self.batch_size)
@@ -298,6 +312,7 @@ def run_pretrain(cfg: dict) -> dict:
             model, state, loader, epochs=epochs,
             log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
             checkpointer=checkpointer, resume=trainer_cfg.get("resume", False),
+            checkpoint_every=trainer_cfg.get("checkpoint_every", 0),
             steps_per_dispatch=trainer_cfg.get("steps_per_dispatch", 1),
         )
         return {"history": result.history, "_state": result.state}
@@ -482,6 +497,13 @@ def run(cfg: dict) -> dict:
     from notorch_tpu.data.batching import DataLoader, Subset, random_split
     from notorch_tpu.training.loop import evaluate, fit
 
+    if cfg.get("trust_imports"):
+        # opt-in Hydra-style arbitrary-class instantiation: configs may name
+        # importable classes (module: mypkg.MyBlock) — see cli/registry.py
+        from notorch_tpu.cli.registry import allow_imports
+
+        allow_imports(True)
+
     if cfg.get("model", {}).get("kind") == "pretrain":
         return run_pretrain(cfg)
 
@@ -615,6 +637,8 @@ def run(cfg: dict) -> dict:
         log_fn=lambda r: print(json.dumps({k: _jsonable(v) for k, v in r.items()})),
         host_metrics=host_metrics or None,
         checkpointer=checkpointer,
+        resume=trainer_cfg.get("resume", False),
+        checkpoint_every=trainer_cfg.get("checkpoint_every", 0),
         steps_per_dispatch=steps_per_dispatch,
     )
 
@@ -693,6 +717,12 @@ def main(argv=None) -> None:
     parser.add_argument("config", help="path to YAML/JSON config")
     parser.add_argument("overrides", nargs="*", help="dotted-key overrides: a.b=val")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--trust-imports",
+        action="store_true",
+        help="allow configs to instantiate arbitrary importable classes "
+        "(module: mypkg.MyBlock) — executes code named by the config",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -701,6 +731,8 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", "cpu")
 
     cfg = resolve_config(apply_overrides(load_config(args.config), args.overrides))
+    if args.trust_imports:
+        cfg["trust_imports"] = True
     run(cfg)
 
 

@@ -110,8 +110,19 @@ class DataLoader:
         # Batch ORDER is still shuffled (by the sampler seed), so epochs stay
         # stochastic while padding waste drops ~2x.
         self.sort_by_size = sort_by_size
+        self.seed = seed
         self._rg = np.random.default_rng(seed)
         self._cache: dict[int, dict] | None = {} if cache else None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Make this epoch's batch order a pure function of (seed, epoch):
+        epoch-keys the sampler (when it supports it) and the sort_by_size
+        chunk shuffle. ``fit`` calls this each epoch so a preemption-resumed
+        run (``fit(resume=True)``) can re-derive the interrupted epoch's
+        exact sequence and fast-forward to the right batch."""
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+        self._rg = np.random.default_rng((self.seed, int(epoch)))
 
     def _fetch(self, idx: int) -> dict:
         if self._cache is not None:

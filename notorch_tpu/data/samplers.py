@@ -25,15 +25,33 @@ class SequentialSampler:
 
 
 class SeededSampler:
-    """Reproducibly shuffled indices; reshuffles each epoch."""
+    """Reproducibly shuffled indices; reshuffles each epoch.
+
+    Two modes: by default the shuffle is STATEFUL (each ``__iter__``
+    permutes the previous order — the reference's ``SeededSampler``
+    semantics). After :meth:`set_epoch` the order becomes a pure function of
+    ``(seed, epoch)`` — any epoch's sequence is reproducible without
+    replaying the previous ones, which is what preemption-safe
+    ``fit(resume=True)`` needs to fast-forward to the interrupted batch
+    (``training/loop.py``; the loop calls ``set_epoch`` automatically)."""
 
     def __init__(self, n: int, seed: int):
         if seed is None:
             raise ValueError("SeededSampler must be seeded")
+        self.seed = seed
         self.idxs = np.arange(n)
         self.rg = np.random.default_rng(seed)
+        self._epoch: int | None = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Make the next ``__iter__`` order depend only on (seed, epoch)."""
+        self._epoch = int(epoch)
 
     def __iter__(self) -> Iterator[int]:
+        if self._epoch is not None:
+            idxs = np.arange(len(self.idxs))
+            np.random.default_rng((self.seed, self._epoch)).shuffle(idxs)
+            return iter(idxs.tolist())
         self.rg.shuffle(self.idxs)
         return iter(self.idxs.tolist())
 

@@ -64,11 +64,15 @@ def _edge_adjacency(src, dst, emask, mm_dtype):
     satisfies both."""
     NB, E = src.shape
     mask_ok = emask.astype(jnp.float32) > 0.0
-    e_i = jax.lax.broadcasted_iota(jnp.int32, (NB, E, E), 1)
-    e_j = jax.lax.broadcasted_iota(jnp.int32, (NB, E, E), 2)
-    rev_i = e_i + 1 - 2 * (e_i % 2)
+    # the not-rev mask is bin-INDEPENDENT: build it [E, E] once and
+    # broadcast, instead of materializing two [NB, E, E] int32 iotas —
+    # at E=256 those were 2 MB of VMEM each, the margin between the
+    # E_b>=192 bins compiling and the round-3 VMEM-class compile failures
+    row = jax.lax.broadcasted_iota(jnp.int32, (E, E), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
+    rev_row = row + 1 - 2 * (row % 2)
     keep = (src[:, :, None] == dst[:, None, :]) & mask_ok[:, None, :]
-    return jnp.where(keep & (e_j != rev_i), 1.0, 0.0).astype(mm_dtype)
+    return jnp.where(keep & (col != rev_row)[None], 1.0, 0.0).astype(mm_dtype)
 
 
 def _block_kernel(

@@ -83,9 +83,43 @@ class ComposedNetwork(nn.Module):
         return batch
 
 
+def _toposort(modules: Mapping[str, Mapping[str, Any]]) -> list[str]:
+    """Order modules by their key-space dependencies (module X consumes
+    ``Y.<key>`` => Y runs first), keeping declaration order among
+    independents. Declaration order alone is fragile — YAML tooling
+    (``yaml.safe_dump`` sorts keys) and JSON round-trips can permute the
+    mapping, and the wiring already names the true DAG."""
+    names = list(modules)
+    deps: dict[str, set[str]] = {}
+    for name, cfg in modules.items():
+        in_keys = cfg["in_keys"]
+        keys = in_keys.values() if isinstance(in_keys, Mapping) else in_keys
+        deps[name] = {
+            k.split(".", 1)[0]
+            for k in keys
+            if "." in k and k.split(".", 1)[0] in modules
+        }
+    order: list[str] = []
+    done: set[str] = set()
+    while len(order) < len(names):
+        progressed = False
+        for name in names:
+            if name not in done and deps[name] <= done:
+                order.append(name)
+                done.add(name)
+                progressed = True
+        if not progressed:
+            cyc = sorted(set(names) - done)
+            raise ValueError(f"module wiring has a dependency cycle among {cyc}")
+    return order
+
+
 def make_network(modules: Mapping[str, Mapping[str, Any]]) -> ComposedNetwork:
     """Build a :class:`ComposedNetwork` from reference-style module configs:
-    ``{name: {"module": m, "in_keys": [...], "out_keys": [...]}}``."""
+    ``{name: {"module": m, "in_keys": [...], "out_keys": [...]}}``.
+    Execution order is the topological order of the key-space DAG, so the
+    mapping's declaration order never has to match the dataflow."""
+    modules = {name: modules[name] for name in _toposort(modules)}
     mods = {name: cfg["module"] for name, cfg in modules.items()}
     wiring = tuple(
         (

@@ -56,6 +56,52 @@ class GATv2Layer(nn.Module):
         return G.update(node_feats=out.reshape(-1, d))
 
 
+class GATBlock(nn.Module):
+    """Depth-stacked GATv2 encoder: per-layer attention + residual + a
+    position-wise feed-forward (the standard pre-activation graph-attention
+    stack). ``attention="sdp"`` swaps the score function for the
+    edge-biased dot-product form (:class:`GraphSelfAttention`) — a graph
+    transformer layer. This is the recipe surface behind
+    ``model.kind: gat`` (``notorch_tpu.models.gat``); the reference's
+    attention file is NameError-broken
+    (``notorch/nn/gnn/attention.py:8,42``), so the stack composition
+    follows the GATv2/Graphormer literature rather than reference code."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    depth: int = 3
+    num_heads: int = 4
+    attention: str = "gatv2"  # "gatv2" | "sdp"
+    dropout: float = 0.0
+    ffn_mult: int = 2
+    residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, G: BatchedGraph, training: bool = False) -> BatchedGraph:
+        if self.attention not in ("gatv2", "sdp"):
+            raise ValueError(f"unknown attention {self.attention!r}")
+        layer_cls = GATv2Layer if self.attention == "gatv2" else GraphSelfAttention
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(G.node_feats)
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        for i in range(self.depth):
+            attn = layer_cls(
+                hidden_dim=self.hidden_dim,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            )
+            out = attn(G.update(node_feats=h), training).node_feats
+            h = h + drop(out) if self.residual else drop(out)
+            ff = nn.Dense(
+                self.ffn_mult * self.hidden_dim, dtype=self.dtype, name=f"ffn_{i}_0"
+            )(h)
+            ff = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"ffn_{i}_1")(
+                nn.relu(ff)
+            )
+            h = h + drop(ff) if self.residual else drop(ff)
+        return G.update(node_feats=h)
+
+
 class GraphSelfAttention(nn.Module):
     """Edge-restricted multi-head self-attention with additive edge bias."""
 

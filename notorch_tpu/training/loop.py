@@ -53,14 +53,28 @@ def fit(
     host_metrics: Mapping[str, Mapping] | None = None,
     checkpointer=None,
     resume: bool = False,
+    checkpoint_every: int = 0,
     steps_per_dispatch: int = 1,
 ) -> FitResult:
     """Run the jitted train step over the loader for ``epochs`` epochs.
 
     ``host_metrics``: ``{name: {"fn", "in_keys"}}`` computed host-side from
     accumulated eval outputs (AUROC/AUPRC/F1 — reference metrics.py:76-152).
-    ``resume=True`` restores the latest checkpoint from ``checkpointer``
-    before training (preemption-safe restart; SURVEY §5 failure recovery).
+
+    Preemption safety (SURVEY §5 failure recovery — the reference delegates
+    this to Lightning, ``notorch/cli/train.py:30``): ``checkpoint_every=K``
+    additionally checkpoints every K batches WITH the loop cursor
+    (epoch, batches trained) as a sidecar; ``resume=True`` restores the
+    latest checkpoint — params, optimizer state, step count, AND the RNG
+    key (all live in :class:`TrainState`) — then re-derives the interrupted
+    epoch's batch order (the loop epoch-keys the loader via ``set_epoch``,
+    making each epoch's order a pure function of (seed, epoch)) and
+    fast-forwards past the already-trained batches. A killed-and-resumed
+    run therefore produces the SAME trajectory as an uninterrupted one
+    (tests/test_checkpoint.py::test_preemption_resume_trajectory_equality),
+    provided the loader/steps_per_dispatch configuration is unchanged.
+    Checkpoints from older versions (no sidecar) restore state only and
+    restart at epoch 0.
 
     ``steps_per_dispatch > 1`` groups consecutive same-shape batches (the
     bucketed loader emits only a few shapes) and runs each group as ONE
@@ -69,12 +83,25 @@ def fit(
     launch/tunnel latency, which dominates small-molecule steps on TPU.
     """
     history = []
+    start_epoch = 0
+    skip_batches = 0
     if resume and checkpointer is not None and checkpointer.latest_step() is not None:
-        state = checkpointer.restore(state)
-    for epoch in range(epochs):
+        state, extra = checkpointer.restore(state, with_extra=True)
+        if extra:
+            start_epoch = int(extra.get("epoch", 0))
+            skip_batches = int(extra.get("batches_done", 0))
+    for epoch in range(start_epoch, epochs):
+        set_epoch = getattr(train_loader, "set_epoch", None)
+        if callable(set_epoch):
+            set_epoch(epoch)
         t0 = time.perf_counter()
         train_logs: dict[str, float] = {}
         n_batches = 0
+        since_save = 0
+        # batches of this epoch already trained by the PREEMPTED run (they
+        # are skipped below, but count toward the epoch cursor)
+        done_offset = skip_batches if epoch == start_epoch else 0
+        to_skip = done_offset
         pending: list = []
         pending_sig = None
 
@@ -96,7 +123,7 @@ def fit(
             # device round-trip every step (a ~30-50 ms latency floor on
             # tunneled TPUs dwarfs the 1-3 ms step compute). Materialize only
             # at log_every boundaries and epoch end, so dispatches pipeline.
-            nonlocal n_batches
+            nonlocal n_batches, since_save
             n_batches += weight
             if log_every and (n_batches % log_every) < weight and log_fn:
                 log_fn(
@@ -105,8 +132,31 @@ def fit(
                 )
             for k, v in logs.items():
                 train_logs[k] = train_logs.get(k, 0.0) + v * weight
+            since_save += weight
+            if checkpointer is not None and checkpoint_every and since_save >= checkpoint_every:
+                # the cursor counts ALL batches of this epoch trained so far
+                # (including any trained before a previous preemption)
+                checkpointer.save(
+                    state,
+                    step=int(state.step),
+                    extra={"epoch": epoch, "batches_done": done_offset + n_batches},
+                )
+                since_save = 0
 
         for batch in train_loader:
+            if to_skip > 0:
+                # fast-forward past batches the preempted run already trained
+                # (same epoch-keyed order; the samples are never re-trained)
+                w = batch.n if isinstance(batch, StackedBatch) else 1
+                if w > to_skip:
+                    raise RuntimeError(
+                        f"resume cursor ({done_offset} batches) does not align "
+                        f"with the loader's dispatch groups (next group has "
+                        f"{w}); resume with the same loader configuration and "
+                        "steps_per_dispatch as the interrupted run"
+                    )
+                to_skip -= w
+                continue
             if isinstance(batch, StackedBatch):
                 # pre-stacked, pre-transferred group from PrefetchLoader(stack=K)
                 if pending:
@@ -148,7 +198,12 @@ def fit(
         if log_fn:
             log_fn(record)
         if checkpointer is not None:
-            checkpointer.save(state, step=int(state.step), metrics=record)
+            checkpointer.save(
+                state,
+                step=int(state.step),
+                metrics=record,
+                extra={"epoch": epoch + 1, "batches_done": 0},
+            )
     return FitResult(state=state, history=history)
 
 

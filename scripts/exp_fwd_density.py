@@ -97,12 +97,49 @@ def main():
 
                 return lambda: run(Ws, bs)
 
-            best, chain = _measure_chain(make_run)
+            best, chain, _dts = _measure_chain(make_run)
             rate = real_edges * depth * chain / best
             rec["fwd_edges_per_sec"] = round(rate, 1)
             prepped = [(h0, G.src, G.dst, G.edge_mask, V_b)]
             t_sol = _roofline_seconds(prepped, hidden, depth, kind)
             rec["pct_of_roofline"] = round(100.0 * t_sol / (best / chain), 1)
+
+            # train (fwd+bwd through value_and_grad, residual-stash backward)
+            # — only once the forward compiles at this shape
+            from notorch_tpu.kernels.dense_mpnn import (
+                fused_dense_mpnn_block_trainable_stash,
+            )
+
+            def make_train(chain):
+                @jax.jit
+                def run(Ws, bs):
+                    def step(h, _):
+                        def loss(h):
+                            out = fused_dense_mpnn_block_trainable_stash(
+                                h, G.src, G.dst, G.edge_mask, Ws, bs,
+                                depth, V_b, True, tile, False, None,
+                            )
+                            return jnp.sum(out * out)
+
+                        g = jax.grad(loss)(h)
+                        return g * jax.lax.rsqrt(jnp.mean(g * g) + 1e-12), ()
+
+                    hN, _ = jax.lax.scan(step, h0, None, length=chain)
+                    return jnp.sum(hN.astype(jnp.float32))
+
+                return lambda: run(Ws, bs)
+
+            try:
+                tbest, tchain, _t = _measure_chain(make_train)
+                rec["train_edges_per_sec"] = round(
+                    real_edges * depth * tchain / tbest, 1
+                )
+                t_sol_t = _roofline_seconds(prepped, hidden, depth, kind, train=True)
+                rec["train_pct_of_roofline"] = round(
+                    100.0 * t_sol_t / (tbest / tchain), 1
+                )
+            except Exception as e:
+                rec["train_error"] = f"{type(e).__name__}: {e}"[:200]
         except Exception as e:
             rec["error"] = f"{type(e).__name__}: {e}"[:300]
         return rec

@@ -73,7 +73,14 @@ def test_fit_resume(tmp_path, smis):
     r1 = fit(model, state, loader, epochs=2, checkpointer=ckpt)
     assert ckpt.latest_step() == 2
 
-    # resume from checkpoint: a fresh state gets replaced by the saved one
+    # resume from checkpoint: a fresh state gets replaced by the saved one.
+    # ``epochs`` is the run's TOTAL — the cursor sidecar knows 2 epochs are
+    # done, so epochs=3 trains exactly one more
     fresh = model.init(jax.random.PRNGKey(9), next(iter(loader)))
-    r2 = fit(model, fresh, loader, epochs=1, checkpointer=ckpt, resume=True)
-    assert int(r2.state.step) == 3  # 2 restored + 1 epoch (1 step/epoch)
+    r2 = fit(model, fresh, loader, epochs=3, checkpointer=ckpt, resume=True)
+    assert int(r2.state.step) == 3  # 2 restored + 1 more epoch (1 step/epoch)
+    assert len(r2.history) == 1
+
+    # a finished run resumes as a no-op
+    r3 = fit(model, fresh, loader, epochs=3, checkpointer=ckpt, resume=True)
+    assert int(r3.state.step) == 3 and r3.history == []
