@@ -1,16 +1,20 @@
-"""Forward-roofline experiments (VERDICT r2 #5): can denser/bigger tiles
-close the 42-46%-of-MXU-roofline gap of the packed forward kernel?
+"""Operator-size ablation: does shrinking the [E,E] edge-to-edge operator
+(the structural-sparsity direction — molecules are block-diagonal inside a
+bin) buy anything?
 
-Variants over the 512-mol lipo batch (hidden 256, depth 3):
-  - E_b=128 bins, mols_per_tile 8 (round-2 default) / 16
-  - E_b=256 bins (density 0.978; failed Mosaic remote compile in round 2
-    with an opaque HTTP 500), mols_per_tile 2 / 4 / 8
-  - E_b=192 middle point, mols_per_tile 4 / 8
+Analysis first (round-4): per edge-lane-layer the forward costs d^2 (h@W)
++ E_b*d (A@mW) MACs. At d=256, E_b=128 the "redundant" operator is only
+1/3 of forward FLOPs — Amdahl caps a perfect sparse operator at ~1.5x fwd
+(~1.25x train, where the operator is 2 of 5 matmuls) — and sub-128
+operators halve MXU K-utilization, which eats exactly that margin. The
+round-3 density sweep shows the other direction: E_b=192 compiles but is
+SLOWER in absolute edges/s (515M vs 608M) because operator FLOPs/edge grow
+faster than density.
 
-Each variant: pack, correctness-gate vs the jnp dense block (rel <= 2e-2 at
-default bf16-multiply precision), then chain-time exactly like bench.py.
-Compile failures are caught and recorded (the round-2 artifact), never
-crash the sweep. Prints one JSON line per variant.
+This script pins the remaining open cell: the SAME <=64-edge molecule
+subset packed into E_b=64 bins vs E_b=128 bins. If the 64-operator wins,
+fine-grained block-diagonal tiling has headroom; if not, the idea is
+measured-closed at both ends (bigger AND smaller operators lose).
 """
 
 from __future__ import annotations
@@ -19,24 +23,22 @@ import csv
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import _measure_chain, _roofline_seconds  # noqa: E402
+from bench import _arm_watchdog, _measure_chain  # noqa: E402
 
 
 def main():
     import jax
 
-    from bench import _arm_watchdog
-
     _arm_watchdog(3000)
     import jax.numpy as jnp
 
-    from notorch_tpu.data.dense import pack_graphs_dense, plan_bins
-    from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
+    from notorch_tpu.data.dense import pack_graphs_dense, pad_graphs_dense, plan_bins
+    from notorch_tpu.kernels.dense_mpnn import (
+        fused_dense_mpnn_block,
+        fused_dense_mpnn_block_trainable_stash,
+    )
     from notorch_tpu.nn.chemprop_dense import DenseChempropBlock, DenseGraphEmbedding
     from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
 
@@ -45,31 +47,32 @@ def main():
     with open(path) as f:
         smis = [row["smiles"] for row in csv.DictReader(f)][:512]
     pipe = Pipeline(SmiToMol(), MolToGraph())
-    graphs = [pipe(s) for s in smis]
+    graphs = [g for g in (pipe(s) for s in smis) if g.num_edges <= 64]
     real_edges = sum(g.num_edges for g in graphs)
     key = jax.random.PRNGKey(0)
 
     dembed = DenseGraphEmbedding(42, 13, hidden_dim=hidden)
     dblock = DenseChempropBlock(hidden_dim=hidden, depth=depth)
-    from notorch_tpu.data.dense import pad_graphs_dense
-
-    dbg0 = pad_graphs_dense(graphs[:8], 64, 128)
+    dbg0 = pad_graphs_dense(graphs[:8], 48, 64)
     ev = dembed.init(key, dbg0)
     bv = dblock.init(key, dembed.apply(ev, dbg0))
     Ws = jnp.stack([bv["params"][f"layer_{i}"]["update"]["kernel"] for i in range(depth)])
     bs = jnp.stack([bv["params"][f"layer_{i}"]["update"]["bias"] for i in range(depth)])
 
-    kind = jax.devices()[0].device_kind
+    print(json.dumps({"subset_mols": len(graphs), "real_edges": real_edges}), flush=True)
 
     def variant(V_b, E_b, tile):
         rec = {"V_b": V_b, "E_b": E_b, "mols_per_tile": tile}
         try:
-            n_bins = len(plan_bins(graphs, V_b, E_b))
-            n_bins = -(-n_bins // tile) * tile
+            n_bins = -(-len(plan_bins(graphs, V_b, E_b)) // tile) * tile
             pk = pack_graphs_dense(graphs, V_b, E_b, bin_cap=n_bins)
             G = dembed.apply(ev, pk)
-            Gm = G.gather_matrix(jnp.float32)
-            h0 = jnp.einsum("bev,bvd->bed", Gm, G.node_feats) + G.edge_feats
+            h0 = (
+                jnp.einsum(
+                    "bev,bvd->bed", G.gather_matrix(jnp.float32), G.node_feats
+                )
+                + G.edge_feats
+            )
             rec["bins"] = n_bins
             rec["density"] = round(real_edges / (n_bins * E_b), 3)
 
@@ -85,7 +88,7 @@ def main():
                 rec["error"] = "correctness gate failed"
                 return rec
 
-            def make_run(chain):
+            def make_fwd(chain):
                 @jax.jit
                 def run(Ws, bs):
                     def body(_, h):
@@ -101,18 +104,8 @@ def main():
 
                 return lambda: run(Ws, bs)
 
-            best, chain, _dts = _measure_chain(make_run)
-            rate = real_edges * depth * chain / best
-            rec["fwd_edges_per_sec"] = round(rate, 1)
-            prepped = [(h0, G.src, G.dst, G.edge_mask, V_b)]
-            t_sol = _roofline_seconds(prepped, hidden, depth, kind)
-            rec["pct_of_roofline"] = round(100.0 * t_sol / (best / chain), 1)
-
-            # train (fwd+bwd through value_and_grad, residual-stash backward)
-            # — only once the forward compiles at this shape
-            from notorch_tpu.kernels.dense_mpnn import (
-                fused_dense_mpnn_block_trainable_stash,
-            )
+            best, chain, _d = _measure_chain(make_fwd)
+            rec["fwd_edges_per_sec"] = round(real_edges * depth * chain / best, 1)
 
             def make_train(chain):
                 @jax.jit
@@ -133,32 +126,16 @@ def main():
 
                 return lambda: run(Ws, bs)
 
-            try:
-                tbest, tchain, _t = _measure_chain(make_train)
-                rec["train_edges_per_sec"] = round(
-                    real_edges * depth * tchain / tbest, 1
-                )
-                t_sol_t = _roofline_seconds(prepped, hidden, depth, kind, train=True)
-                rec["train_pct_of_roofline"] = round(
-                    100.0 * t_sol_t / (tbest / tchain), 1
-                )
-            except Exception as e:
-                rec["train_error"] = f"{type(e).__name__}: {e}"[:200]
+            tbest, tchain, _t = _measure_chain(make_train)
+            rec["train_edges_per_sec"] = round(real_edges * depth * tchain / tbest, 1)
         except Exception as e:
-            rec["error"] = f"{type(e).__name__}: {e}"[:300]
+            rec["error"] = f"{type(e).__name__}: {e}"[:250]
         return rec
 
-    for V_b, E_b, tile in [
-        (72, 128, 8),
-        (72, 128, 16),
-        (104, 192, 4),
-        (104, 192, 8),
-        (136, 256, 2),
-        (136, 256, 4),
-        (136, 256, 8),
-    ]:
-        rec = variant(V_b, E_b, tile)
-        print(json.dumps(rec), flush=True)
+    # same molecules, two operator sizes (and a tile sweep at 64 since
+    # VMEM allows more bins per tile there)
+    for V_b, E_b, tile in [(40, 64, 8), (40, 64, 16), (72, 128, 8)]:
+        print(json.dumps(variant(V_b, E_b, tile)), flush=True)
 
 
 if __name__ == "__main__":
