@@ -94,7 +94,7 @@ def build(spec: dict | str) -> Any:
 
 
 def _populate() -> None:
-    from notorch_tpu.nn import agg, attention, glue, mlp, moe, rbf
+    from notorch_tpu.nn import agg, attention, attention_dense, glue, mlp, moe, rbf
     from notorch_tpu.nn.chemprop import ChempropBlock, ChempropLayer
     from notorch_tpu.nn.chemprop_dense import (
         DenseChempropBlock,
@@ -142,6 +142,8 @@ def _populate() -> None:
         attention.GATv2Layer,
         attention.GraphSelfAttention,
         attention.GATBlock,
+        attention_dense.DenseGraphSelfAttention,
+        attention_dense.DenseGATBlock,
         moe.MixtureOfExperts,
         moe.MoEMLP,
         moe.DenseRouter,

@@ -552,6 +552,17 @@ def run(cfg: dict) -> dict:
         )
         cfg = dict(cfg)
         cfg["model"] = model_cfg
+    elif model_cfg.get("kind") in ("gat", "graph_transformer"):
+        from notorch_tpu.models.gat import resolve_gat_layout
+
+        attention = model_cfg.get(
+            "attention", "sdp" if model_cfg["kind"] == "graph_transformer" else "gatv2"
+        )
+        model_cfg["layout"] = resolve_gat_layout(
+            model_cfg.get("layout", "auto"), attention=attention
+        )
+        cfg = dict(cfg)
+        cfg["model"] = model_cfg
 
     spmd = trainer_cfg.get("spmd")
     if spmd:

@@ -24,6 +24,17 @@ from notorch_tpu.nn.mlp import MLP
 from notorch_tpu.tasks import metrics as M
 
 
+def resolve_gat_layout(layout: str = "auto", *, attention: str = "gatv2") -> str:
+    """``auto`` -> dense_packed for the dot-product (sdp) stack — the
+    attention layer becomes batched MXU matmuls over packed bins (measured 113.8M fwd /
+    21.2M train edge-updates/s on v5e vs 10.2M / 2.6M for the flat segment
+    form — 11.2x / 8.3x) — and flat for GATv2, whose
+    LeakyReLU score is not factorizable into q.k^T."""
+    if layout != "auto":
+        return layout
+    return "dense_packed" if attention == "sdp" else "flat"
+
+
 def build_gat(
     num_tasks: int = 1,
     task: str = "regression",
@@ -43,8 +54,11 @@ def build_gat(
     num_edge_types: int | None = None,
     metrics: dict | None = None,
     dtype=None,
+    layout: str = "auto",
 ) -> Model:
-    """Embed -> GATBlock -> readout -> FFN over the flat batched graph."""
+    """Embed -> GATBlock -> readout -> FFN. ``layout="auto"``: dense-packed
+    bins for the sdp (graph-transformer) stack, flat for GATv2 — see
+    :func:`resolve_gat_layout`."""
     import jax.numpy as jnp
 
     if isinstance(dtype, str):
@@ -53,6 +67,13 @@ def build_gat(
     if aggregation not in AGGREGATIONS:
         raise ValueError(
             f"unknown aggregation {aggregation!r}; options: {sorted(AGGREGATIONS)}"
+        )
+    layout = resolve_gat_layout(layout, attention=attention)
+    if layout in ("dense", "dense_packed") and attention != "sdp":
+        raise ValueError(
+            "the dense attention layout implements the dot-product (sdp) "
+            "stack only; GATv2's LeakyReLU score is not factorizable — use "
+            "layout='flat' (or attention='sdp')"
         )
 
     embed_kwargs = {}
@@ -66,30 +87,85 @@ def build_gat(
         num_tasks if per_task == 1 else (num_tasks, per_task)
     )
 
-    agg_kwargs = {}
-    if aggregation == "sdp":
-        agg_kwargs["key_dim"] = hidden_dim
+    if layout in ("dense", "dense_packed"):
+        from notorch_tpu.nn.attention_dense import DenseGATBlock
+        from notorch_tpu.nn.chemprop_dense import (
+            DenseGated,
+            DenseGraphEmbedding,
+            DenseMax,
+            DenseMean,
+            DenseSDPAttention,
+            DenseSum,
+            PackedGated,
+            PackedMax,
+            PackedMean,
+            PackedSDPAttention,
+            PackedSum,
+        )
+        from notorch_tpu.transforms.vocab import (
+            DEFAULT_NUM_ATOM_TYPES,
+            DEFAULT_NUM_BOND_TYPES,
+        )
+
+        embed_mod = DenseGraphEmbedding(
+            num_node_types=embed_kwargs.get("num_node_types", DEFAULT_NUM_ATOM_TYPES),
+            num_edge_types=embed_kwargs.get("num_edge_types", DEFAULT_NUM_BOND_TYPES),
+            hidden_dim=hidden_dim,
+            dtype=dtype,
+        )
+        mp_mod = DenseGATBlock(
+            hidden_dim=hidden_dim,
+            depth=depth,
+            num_heads=num_heads,
+            dropout=dropout,
+            dtype=dtype,
+        )
+        aggs = (
+            {
+                "sum": PackedSum(),
+                "mean": PackedMean(),
+                "max": PackedMax(),
+                "gated": PackedGated(dtype=dtype),
+                "sdp": PackedSDPAttention(key_dim=hidden_dim),
+            }
+            if layout == "dense_packed"
+            else {
+                "sum": DenseSum(),
+                "mean": DenseMean(),
+                "max": DenseMax(),
+                "gated": DenseGated(dtype=dtype),
+                "sdp": DenseSDPAttention(key_dim=hidden_dim),
+            }
+        )
+        readout_mod = aggs[aggregation]
+    else:
+        embed_mod = GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs)
+        mp_mod = GATBlock(
+            hidden_dim=hidden_dim,
+            depth=depth,
+            num_heads=num_heads,
+            attention=attention,
+            dropout=dropout,
+            dtype=dtype,
+        )
+        agg_kwargs = {}
+        if aggregation == "sdp":
+            agg_kwargs["key_dim"] = hidden_dim
+        readout_mod = AGGREGATIONS[aggregation](**agg_kwargs)
 
     modules = {
         "embed": {
-            "module": GraphEmbedding(hidden_dim=hidden_dim, dtype=dtype, **embed_kwargs),
+            "module": embed_mod,
             "in_keys": ["inputs.G"],
             "out_keys": ["G"],
         },
         "mp": {
-            "module": GATBlock(
-                hidden_dim=hidden_dim,
-                depth=depth,
-                num_heads=num_heads,
-                attention=attention,
-                dropout=dropout,
-                dtype=dtype,
-            ),
+            "module": mp_mod,
             "in_keys": ["embed.G"],
             "out_keys": ["G"],
         },
         "readout": {
-            "module": AGGREGATIONS[aggregation](**agg_kwargs),
+            "module": readout_mod,
             "in_keys": ["mp.G"],
             "out_keys": ["H"],
         },

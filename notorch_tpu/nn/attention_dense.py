@@ -1,0 +1,115 @@
+"""Edge-restricted self-attention over the DENSE per-molecule layout.
+
+The flat attention layers (``nn/attention.py``) are segment-softmax +
+gather shaped — measured 10-12M edge-updates/s on v5e, ~40x below the
+D-MPNN dense path, because every score/normalize/combine is a scatter. The
+dense form turns the whole layer into batched MXU contractions:
+
+    adjacency  M = S @ G          ([B,V,V] node-node mask, built from the
+                                   same one-hot operators as the D-MPNN
+                                   dense layout — molecule-local by
+                                   construction, packed bins included)
+    scores     qk^T / sqrt(dh)    (batched [B,H,V,V])
+    bias       einsum(S, W_b e, G) (additive per-edge bias scattered into
+                                   [B,H,V,V] — one contraction, no scatter)
+    combine    alpha @ v          (batched matmul)
+
+Semantics match :class:`notorch_tpu.nn.attention.GraphSelfAttention`
+exactly (same parameter tree — ``W_q/W_k/W_v/W_bias/W_o`` — so weights are
+layout-interchangeable); the GATv2 score is not factorizable into q.k^T
+(LeakyReLU sits between the src/dst terms), so GATv2 stays flat-only.
+Reference spec: ``notorch/nn/gnn/attention.py:42`` (NameError-broken
+there; SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
+from notorch_tpu.data.dense import DenseBatchedGraph
+
+
+class DenseGraphSelfAttention(nn.Module):
+    """Edge-restricted multi-head self-attention, dense layout."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
+        d, H = self.hidden_dim, self.num_heads
+        dh = d // H
+        assert dh * H == d
+
+        x = G.node_feats
+        B, V, _ = x.shape
+        q = nn.Dense(d, dtype=self.dtype, name="W_q")(x).reshape(B, V, H, dh)
+        k = nn.Dense(d, dtype=self.dtype, name="W_k")(x).reshape(B, V, H, dh)
+        v = nn.Dense(d, dtype=self.dtype, name="W_v")(x).reshape(B, V, H, dh)
+
+        # node-node adjacency from the same one-hot operators as the dense
+        # D-MPNN: M[b, i, j] = #edges j->i (0/1 for molecular graphs);
+        # molecule-local by construction, so packed bins need no extra mask
+        S = G.scatter_matrix(x.dtype)  # [B, V, E] (dst one-hot, edge-masked)
+        Gm = G.gather_matrix(x.dtype)  # [B, E, V] (src one-hot)
+        M = jnp.einsum("bie,bej->bij", S, Gm)  # [B, V, V]
+
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k) / jnp.sqrt(float(dh))
+        if G.edge_feats.ndim == 3:
+            eb = nn.Dense(H, dtype=self.dtype, name="W_bias")(G.edge_feats)  # [B,E,H]
+            # scatter the per-edge bias into [B,H,V,V] with ONE contraction
+            scores = scores + jnp.einsum("bie,beh,bej->bhij", S, eb, Gm)
+
+        mask = (M > 0)[:, None, :, :]  # [B, 1, V, V]
+        neg = jnp.where(mask, scores, -jnp.inf)
+        mx = jnp.max(neg, axis=-1, keepdims=True)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
+        alpha = ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+
+        out = jnp.einsum("bhij,bjhd->bihd", alpha, v).reshape(B, V, d)
+        out = nn.Dense(d, dtype=self.dtype, name="W_o")(out)
+        return G.update(node_feats=out)
+
+
+class DenseGATBlock(nn.Module):
+    """Depth-stacked dense graph-transformer: attention + residual + a
+    position-wise feed-forward per layer. Same parameter tree as the flat
+    :class:`notorch_tpu.nn.attention.GATBlock` with ``attention="sdp"``
+    (``in_proj``, ``attn_i/W_*``, ``ffn_i_*``), so checkpoints are
+    layout-interchangeable."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    depth: int = 3
+    num_heads: int = 4
+    dropout: float = 0.0
+    ffn_mult: int = 2
+    residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(G.node_feats)
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        for i in range(self.depth):
+            attn = DenseGraphSelfAttention(
+                hidden_dim=self.hidden_dim,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            )
+            out = attn(G.update(node_feats=h), training).node_feats
+            h = h + drop(out) if self.residual else drop(out)
+            ff = nn.Dense(
+                self.ffn_mult * self.hidden_dim, dtype=self.dtype, name=f"ffn_{i}_0"
+            )(h)
+            ff = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"ffn_{i}_1")(
+                nn.relu(ff)
+            )
+            h = h + drop(ff) if self.residual else drop(ff)
+        return G.update(node_feats=h)

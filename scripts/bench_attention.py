@@ -133,6 +133,63 @@ def main(hidden=256, depth=3, heads=4):
         out[f"{attn}_train_edge_updates_per_sec"] = round(
             real_edges * depth * tchain / tbest, 1
         )
+
+    # dense-packed graph-transformer: the layer is batched MXU matmuls over
+    # packed bins (adjacency from S@G) instead of segment ops
+    from notorch_tpu.data.dense import pack_graphs_dense, plan_bins
+    from notorch_tpu.nn.attention_dense import DenseGATBlock
+    from notorch_tpu.nn.chemprop_dense import DenseGraphEmbedding
+
+    V_b, E_b = 72, 128
+    n_bins = -(-len(plan_bins(graphs, V_b, E_b)) // 8) * 8
+    pk = pack_graphs_dense(graphs, V_b, E_b, bin_cap=n_bins)
+    dembed = DenseGraphEmbedding(42, 13, hidden_dim=hidden)
+    dev = dembed.init(key, pk)
+    Gp = dembed.apply(dev, pk)
+    dblock = DenseGATBlock(hidden_dim=hidden, depth=depth, num_heads=heads)
+    dbv = dblock.init(key, Gp)
+
+    def make_dense_fwd(chain):
+        @jax.jit
+        def run(bv, Gp):
+            def body(_, feats):
+                return dblock.apply(bv, Gp.update(node_feats=feats)).node_feats
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, chain, body, Gp.node_feats).astype(jnp.float32)
+            )
+
+        return lambda: run(dbv, Gp)
+
+    fbest, fchain = measure(make_dense_fwd)
+
+    def make_dense_train(chain):
+        @jax.jit
+        def run(bv, Gp):
+            def step(params, _):
+                def loss(p):
+                    o = dblock.apply(p, Gp)
+                    return jnp.sum(o.node_feats**2)
+
+                g = jax.grad(loss)(params)
+                return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g), ()
+
+            pN, _ = jax.lax.scan(step, bv, None, length=chain)
+            return jnp.sum(
+                jnp.asarray(
+                    [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)]
+                )
+            )
+
+        return lambda: run(dbv, Gp)
+
+    tbest, tchain = measure(make_dense_train)
+    out["dense_sdp_fwd_edge_updates_per_sec"] = round(
+        real_edges * depth * fchain / fbest, 1
+    )
+    out["dense_sdp_train_edge_updates_per_sec"] = round(
+        real_edges * depth * tchain / tbest, 1
+    )
     print(json.dumps(out))
 
 
