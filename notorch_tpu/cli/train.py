@@ -588,12 +588,24 @@ def run(cfg: dict) -> dict:
     else:
         data_layout = "flat"
     csr_pack = model_cfg.get("impl") == "csr" and data_layout == "flat"
+    loader_kwargs = {}
+    if (
+        model_cfg.get("kind") in ("gat", "graph_transformer")
+        and data_layout == "dense_packed"
+    ):
+        # lane-aligned bins for the attention stack: V_b=128 (the default
+        # V_b = E_b//2+8 heuristic gives 136, which pads to 256 lanes in
+        # every [.., V] attention op; measured +32% fwd / +27% train)
+        loader_kwargs = {"bin_edges": 256, "bin_nodes": 128}
     train_loader = DataLoader(
         train, batch_size=batch_size, shuffle=True, seed=seed, layout=data_layout,
-        sort_by_size=data_layout == "dense", csr_pack=csr_pack,
+        sort_by_size=data_layout == "dense", csr_pack=csr_pack, **loader_kwargs,
     )
     val_loader = (
-        DataLoader(val, batch_size=batch_size, layout=data_layout, csr_pack=csr_pack)
+        DataLoader(
+            val, batch_size=batch_size, layout=data_layout, csr_pack=csr_pack,
+            **loader_kwargs,
+        )
         if val is not None
         else None
     )
@@ -655,7 +667,9 @@ def run(cfg: dict) -> dict:
 
     out = {"history": result.history}
     if test is not None:
-        test_loader = DataLoader(test, batch_size=batch_size, layout=data_layout)
+        test_loader = DataLoader(
+            test, batch_size=batch_size, layout=data_layout, **loader_kwargs
+        )
         out["test"] = evaluate(
             model,
             result.state.params,
@@ -671,7 +685,9 @@ def run(cfg: dict) -> dict:
         from notorch_tpu.training.loop import predict
 
         target = test if test is not None else train
-        loader = DataLoader(target, batch_size=batch_size, layout=data_layout)
+        loader = DataLoader(
+            target, batch_size=batch_size, layout=data_layout, **loader_kwargs
+        )
         preds = predict(
             model, result.state.params, loader, keys=[pred_key],
             extra_vars=result.state.extra_vars,

@@ -59,6 +59,7 @@ class DataLoader:
         sort_by_size: bool = False,
         csr_pack: bool = False,
         bin_edges: int = 128,
+        bin_nodes: int | None = None,
         shards: int = 1,
     ):
         from notorch_tpu.data.samplers import SeededSampler
@@ -89,11 +90,16 @@ class DataLoader:
         self.csr_pack = csr_pack
         # dense_packed: target edge capacity per bin (raised to the batch
         # max when a molecule exceeds it); bins per batch ladder-round.
+        # bin_nodes pins the bin's NODE capacity instead of the default
+        # V_b = E_b//2 + 8 heuristic — attention models want lane-aligned
+        # V_b=128 bins (a 72- or 136-slot node axis pads to 128/256 lanes
+        # in every [.., V] op; measured +32% fwd on the dense transformer).
         # shards > 1 packs each contiguous batch_size/shards molecule chunk
         # into its own equal run of bins with chunk-local readout ids, so a
         # leading-axis split over a data mesh keeps every device local
         # (DenseSpmdTrainer).
         self.bin_edges = bin_edges
+        self.bin_nodes = bin_nodes
         self.shards = shards
         if batch_size % shards != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by shards {shards}")
@@ -186,7 +192,10 @@ class DataLoader:
                 max_e = max(max(g.num_edges for g in graphs), 2)
                 max_e += max_e % 2
                 e_b = max(self.bin_edges, round_up_ladder(max_e, self.edge_ladder))
-                v_b = -(-max(max_v, e_b // 2 + 8) // 8) * 8
+                if self.bin_nodes is not None:
+                    v_b = -(-max(max_v, self.bin_nodes) // 8) * 8
+                else:
+                    v_b = -(-max(max_v, e_b // 2 + 8) // 8) * 8
                 m_local = self.batch_size // self.shards
                 n_local = max(
                     (

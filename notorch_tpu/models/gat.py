@@ -26,9 +26,9 @@ from notorch_tpu.tasks import metrics as M
 
 def resolve_gat_layout(layout: str = "auto", *, attention: str = "gatv2") -> str:
     """``auto`` -> dense_packed for the dot-product (sdp) stack — the
-    attention layer becomes batched MXU matmuls over packed bins (measured 113.8M fwd /
-    21.2M train edge-updates/s on v5e vs 10.2M / 2.6M for the flat segment
-    form — 11.2x / 8.3x) — and flat for GATv2, whose
+    attention layer becomes batched MXU matmuls over packed bins (measured 161.2M fwd /
+    28.0M train edge-updates/s on v5e with lane-aligned 128x256 bins vs
+    10.2M / 2.6M for the flat segment form — 15.8x / 10.8x) — and flat for GATv2, whose
     LeakyReLU score is not factorizable into q.k^T."""
     if layout != "auto":
         return layout

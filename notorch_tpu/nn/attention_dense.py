@@ -38,6 +38,12 @@ class DenseGraphSelfAttention(nn.Module):
 
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     num_heads: int = 4
+    # additive per-edge score bias (the GraphSelfAttention semantics);
+    # ``bias_impl`` picks the scatter formulation — "two_step" materializes
+    # S*bias [B,V,E,H] then one batched matmul with G (well-shaped VJP),
+    # "einsum3" leaves the 3-operand contraction to XLA
+    edge_bias: bool = True
+    bias_impl: str = "two_step"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,10 +66,13 @@ class DenseGraphSelfAttention(nn.Module):
         M = jnp.einsum("bie,bej->bij", S, Gm)  # [B, V, V]
 
         scores = jnp.einsum("bihd,bjhd->bhij", q, k) / jnp.sqrt(float(dh))
-        if G.edge_feats.ndim == 3:
+        if self.edge_bias and G.edge_feats.ndim == 3:
             eb = nn.Dense(H, dtype=self.dtype, name="W_bias")(G.edge_feats)  # [B,E,H]
-            # scatter the per-edge bias into [B,H,V,V] with ONE contraction
-            scores = scores + jnp.einsum("bie,beh,bej->bhij", S, eb, Gm)
+            if self.bias_impl == "two_step":
+                SB = S[:, :, :, None] * eb[:, None, :, :]  # [B, V, E, H]
+                scores = scores + jnp.einsum("bieh,bej->bhij", SB, Gm)
+            else:
+                scores = scores + jnp.einsum("bie,beh,bej->bhij", S, eb, Gm)
 
         mask = (M > 0)[:, None, :, :]  # [B, 1, V, V]
         neg = jnp.where(mask, scores, -jnp.inf)
@@ -90,6 +99,8 @@ class DenseGATBlock(nn.Module):
     dropout: float = 0.0
     ffn_mult: int = 2
     residual: bool = True
+    edge_bias: bool = True
+    bias_impl: str = "two_step"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,6 +111,8 @@ class DenseGATBlock(nn.Module):
             attn = DenseGraphSelfAttention(
                 hidden_dim=self.hidden_dim,
                 num_heads=self.num_heads,
+                edge_bias=self.edge_bias,
+                bias_impl=self.bias_impl,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )
