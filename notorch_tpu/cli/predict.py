@@ -73,6 +73,17 @@ def run_predict(
         )
         meta = dict(meta)
         meta["model"] = model_cfg
+    elif model_cfg.get("kind") in ("gat", "graph_transformer"):
+        from notorch_tpu.models.gat import resolve_gat_layout
+
+        attention = model_cfg.get(
+            "attention", "sdp" if model_cfg["kind"] == "graph_transformer" else "gatv2"
+        )
+        model_cfg["layout"] = resolve_gat_layout(
+            model_cfg.get("layout", "auto"), attention=attention
+        )
+        meta = dict(meta)
+        meta["model"] = model_cfg
     model = build_model(model_cfg, transforms, build_optimizer(meta.get("optimizer")))
 
     data_cfg = dict(meta.get("data") or {})
@@ -88,7 +99,14 @@ def run_predict(
         layout = "dense"
     else:
         layout = "flat"
-    loader = DataLoader(ds, batch_size=batch_size, layout=layout)
+    loader_kwargs = {}
+    if (
+        meta["model"].get("kind") in ("gat", "graph_transformer")
+        and layout == "dense_packed"
+    ):
+        # lane-aligned bins, matching the training loader (cli/train.py)
+        loader_kwargs = {"bin_edges": 256, "bin_nodes": 128}
+    loader = DataLoader(ds, batch_size=batch_size, layout=layout, **loader_kwargs)
 
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
     state = Checkpointer(checkpoint_dir).restore(state, step=step)

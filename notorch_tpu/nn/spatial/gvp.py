@@ -150,6 +150,57 @@ class DualRankAggregation(nn.Module):
         return fn(s, P.batch_index, n)[: P.n_graphs], fn(v, P.batch_index, n)[: P.n_graphs]
 
 
+# XLA's scatter-add transpose of an [N, K] gather measured ~65% of the GVP
+# train step on v5e (scripts/exp_gvp_train_r4.py: stop-gradient on the
+# gathers lifts train 15.5M -> 44M interactions/s). The MXU backward below
+# (chunked one-hot contraction, exact in f32 accumulation) measured 30.6M
+# — 2.0x the scatter. Above this element bound the chunked one-hots stop
+# fitting comfortably; fall back to the scatter transpose.
+_ONEHOT_BWD_MAX_NK = 128 * 1024
+_ONEHOT_CHUNK = 512
+
+
+@jax.custom_vjp
+def _nbr_take(x, nbrs):
+    """Neighbor gather ``x[nbrs]`` ([N, ...] x [N, K] -> [N, K, ...]) with
+    an MXU-shaped backward: the VJP contracts the cotangent against
+    N-column chunks of the index one-hot instead of issuing an N*K-index
+    scatter-add (2.0x measured on the GVP train step; exact — the one-hot
+    matmul accumulates in f32)."""
+    return x[nbrs]
+
+
+def _nbr_take_fwd(x, nbrs):
+    return x[nbrs], (nbrs, x.shape[0])
+
+
+def _nbr_take_bwd(res, g):
+    nbrs, N = res
+    NK = nbrs.size
+    flat = g.reshape((NK,) + g.shape[2:])
+    if NK > _ONEHOT_BWD_MAX_NK:
+        gx = jax.ops.segment_sum(flat, nbrs.reshape(-1), num_segments=N)
+        return gx, None
+    flat2 = flat.reshape(NK, -1)
+    ids = nbrs.reshape(-1)
+    parts = []
+    for n0 in range(0, N, _ONEHOT_CHUNK):
+        onehot = (ids[:, None] == (n0 + jnp.arange(_ONEHOT_CHUNK))[None, :]).astype(
+            flat2.dtype
+        )
+        parts.append(
+            jax.lax.dot_general(
+                onehot, flat2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(flat2.dtype)
+        )
+    gx = jnp.concatenate(parts, axis=0)[:N]
+    return gx.reshape((N,) + flat.shape[1:]), None
+
+
+_nbr_take.defvjp(_nbr_take_fwd, _nbr_take_bwd)
+
+
 class GvpConv(nn.Module):
     """GVP message passing over static-K radius neighborhoods
     (reference gvp/conv.py:16-127)."""
@@ -182,8 +233,8 @@ class GvpConv(nn.Module):
         unit = disp / _norm(disp, axis=-1, keepdims=True)  # [N, K, 3]
 
         # message inputs: dest scalars + src scalars + rbf | dest/src vectors + unit
-        s_j = s[nbrs]  # [N, K, ds]
-        v_j = v[nbrs]  # [N, K, 3, dv]
+        s_j = _nbr_take(s, nbrs)  # [N, K, ds]
+        v_j = _nbr_take(v, nbrs)  # [N, K, 3, dv]
         s_in = jnp.concatenate(
             [jnp.broadcast_to(s[:, None], s_j.shape), s_j, rbf], axis=-1
         )

@@ -52,6 +52,9 @@ class ContinuousFilterConvolution(nn.Module):
         W = nn.Dense(self.hidden_dim, dtype=self.dtype, name="filter_1")(W)
         W = self.act(W)
 
+        # plain gather: the MXU one-hot backward that doubles GVP train
+        # (gvp._nbr_take) measured 8% SLOWER here — CFConv's scatter
+        # transpose is not its bottleneck (scripts/bench_spatial.py r4)
         neighbor_feats = node_feats[nbrs]  # [N, K, d]
         out = (W * neighbor_feats * mask[..., None].astype(node_feats.dtype)).sum(axis=1)
         return out

@@ -305,3 +305,31 @@ def test_banded_gvp_matches_full():
     out_full = np.asarray(full.apply(bv, P).node_feats)
     out_band = np.asarray(band.apply(bv, P).node_feats)
     np.testing.assert_allclose(out_band, out_full, rtol=1e-5, atol=1e-6)
+
+
+def test_nbr_take_backward_exact():
+    """The MXU one-hot gather backward (gvp._nbr_take) is the exact VJP of
+    x[nbrs] — matches plain autodiff for an arbitrary cotangent, including
+    repeated and padding indices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from notorch_tpu.nn.spatial.gvp import _nbr_take
+
+    rng = np.random.default_rng(0)
+    N, K, d = 100, 7, 5
+    x = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    nbrs = jnp.asarray(rng.integers(0, N, size=(N, K)).astype(np.int32))
+    cot = jnp.asarray(rng.normal(size=(N, K, d)).astype(np.float32))
+
+    g1 = jax.grad(lambda x: (x[nbrs] * cot).sum())(x)
+    g2 = jax.grad(lambda x: (_nbr_take(x, nbrs) * cot).sum())(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+    # vector-rank payload ([N, 3, dv]) as GvpConv uses
+    v = jnp.asarray(rng.normal(size=(N, 3, 4)).astype(np.float32))
+    cotv = jnp.asarray(rng.normal(size=(N, K, 3, 4)).astype(np.float32))
+    g1 = jax.grad(lambda v: (v[nbrs] * cotv).sum())(v)
+    g2 = jax.grad(lambda v: (_nbr_take(v, nbrs) * cotv).sum())(v)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
