@@ -25,7 +25,7 @@ def main():
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--hidden", type=int, default=256)
-    p.add_argument("--layout", default="flat", choices=["flat", "dense", "dense_fused"])
+    p.add_argument("--layout", default="flat", choices=["auto", "flat", "dense", "dense_fused", "dense_packed"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -45,15 +45,24 @@ def main():
 
     transforms = train.build_task_transform_configs()
     transforms["y"]["preds"]["key"] = "ffn.preds"
+    from notorch_tpu.models.dmpnn import resolve_layout
+
+    layout = resolve_layout(args.layout)  # "auto" -> fastest valid layout
     model = build_dmpnn(
         hidden_dim=args.hidden,
         depth=3,
-        layout=args.layout,
+        layout=layout,
         transforms=transforms,
         optimizer=optax.adam(1e-3),
     )
 
-    data_layout = "dense" if args.layout.startswith("dense") else "flat"
+    # the loader layout must match the model's resolved layout
+    if layout == "dense_packed":
+        data_layout = "dense_packed"
+    elif layout.startswith("dense"):
+        data_layout = "dense"
+    else:
+        data_layout = "flat"
     train_loader = DataLoader(
         train, batch_size=args.batch_size, shuffle=True, seed=0, layout=data_layout,
         sort_by_size=data_layout == "dense",
