@@ -75,10 +75,37 @@ def _edge_adjacency(src, dst, emask, mm_dtype):
     return jnp.where(keep & (col != rev_row)[None], 1.0, 0.0).astype(mm_dtype)
 
 
+def _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked):
+    """Per-tile (src, dst, emask) rows. ``blocked=False``: the arrays are
+    passed WHOLE and pl.ds-sliced (requires tile % 8 == 0 — Mosaic must
+    prove the dim-0 index is a multiple of 8). ``blocked=True``: the arrays
+    arrive pre-reshaped [B/tile, tile, E] with (1, tile, E) BlockSpecs —
+    the sub-8-tile path wide bins need (E_b=256 bins force tile 4 to fit
+    scoped VMEM; probe: scripts/exp_tile4_r4.py)."""
+    if blocked:
+        return src_ref[0], dst_ref[0], emask_ref[0]
+    row0 = i * tile
+    return (
+        src_ref[pl.ds(row0, NB), :],
+        dst_ref[pl.ds(row0, NB), :],
+        emask_ref[pl.ds(row0, NB), :],
+    )
+
+
+def _idx_operands(src, dst, emask, B, E, tile):
+    """(in_specs_prefix, operands_prefix, blocked) for the index arrays."""
+    if tile % 8 == 0:
+        whole2 = pl.BlockSpec((B, E), lambda i: (0, 0))
+        return [whole2, whole2, whole2], [src, dst, emask], False
+    blk = pl.BlockSpec((1, tile, E), lambda i: (i, 0, 0))
+    rs = lambda x: x.reshape(B // tile, tile, E)
+    return [blk, blk, blk], [rs(src), rs(dst), rs(emask)], True
+
+
 def _block_kernel(
-    src_ref,  # [B, E] i32 (full array)
-    dst_ref,  # [B, E] i32 (full array)
-    emask_ref,  # [B, E] f32 (full array)
+    src_ref,  # [B, E] i32 (full array) or [1, tile, E] block
+    dst_ref,  # [B, E] i32 (full array) or [1, tile, E] block
+    emask_ref,  # [B, E] f32 (full array) or [1, tile, E] block
     h_ref,  # [NB, E, d] edge-hidden tile
     w_ref,  # [depth, d, d] (full)
     b_ref,  # [depth, d] (full)
@@ -89,14 +116,12 @@ def _block_kernel(
     tile: int,
     residual: bool,
     mm_dtype,
+    blocked_idx: bool = False,
 ):
     i = pl.program_id(0)
     h = h_ref[:]
     NB, E, d = h.shape
-    row0 = i * tile
-    src = src_ref[pl.ds(row0, NB), :]
-    dst = dst_ref[pl.ds(row0, NB), :]
-    emask = emask_ref[pl.ds(row0, NB), :]
+    src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
     A = _edge_adjacency(src, dst, emask, mm)
@@ -280,14 +305,12 @@ def _block_kernel_stash(
     out_ref,  # [NB, E, d]
     hs_ref,  # [depth-1, NB, E, d] — HIDDEN layer inputs h1..h_{depth-1}
     *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
+    blocked_idx: bool = False,
 ):
     i = pl.program_id(0)
     h = h_ref[:]
     NB, E, d = h.shape
-    row0 = i * tile
-    src = src_ref[pl.ds(row0, NB), :]
-    dst = dst_ref[pl.ds(row0, NB), :]
-    emask = emask_ref[pl.ds(row0, NB), :]
+    src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
     A = _edge_adjacency(src, dst, emask, mm)
@@ -322,13 +345,11 @@ def _bwd_kernel_stash(
     w_ref, g_ref,
     gh_ref, gw_ref, gb_ref,
     *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
+    blocked_idx: bool = False,
 ):
     i = pl.program_id(0)
     NB, E, d = g_ref.shape
-    row0 = i * tile
-    src = src_ref[pl.ds(row0, NB), :]
-    dst = dst_ref[pl.ds(row0, NB), :]
-    emask = emask_ref[pl.ds(row0, NB), :]
+    src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     dt = g_ref.dtype
     mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
 
@@ -398,18 +419,16 @@ def fused_dense_mpnn_block_stash(
         return out, None
     emask = edge_mask.astype(jnp.float32)
     sdt = edge_hiddens.dtype if stash_dtype is None else jnp.dtype(stash_dtype)
+    idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _block_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
-        residual=residual, mm_dtype=matmul_dtype,
+        residual=residual, mm_dtype=matmul_dtype, blocked_idx=blocked,
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
         grid=(B // NB,),
-        in_specs=[
-            whole((B, E)),
-            whole((B, E)),
-            whole((B, E)),
+        in_specs=idx_specs + [
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
             whole(tuple(weights.shape)),
             whole(tuple(biases.shape)),
@@ -423,7 +442,7 @@ def fused_dense_mpnn_block_stash(
             jax.ShapeDtypeStruct((depth - 1, B, E, d), sdt),
         ],
         interpret=interpret,
-    )(src, dst, emask, edge_hiddens, weights, biases)
+    )(*idx_ops, edge_hiddens, weights, biases)
 
 
 @functools.partial(
@@ -454,18 +473,16 @@ def fused_dense_mpnn_block_bwd_stash(
             matmul_dtype=matmul_dtype,
         )
     emask = edge_mask.astype(jnp.float32)
+    idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _bwd_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
-        residual=residual, mm_dtype=matmul_dtype,
+        residual=residual, mm_dtype=matmul_dtype, blocked_idx=blocked,
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
         grid=(B // NB,),
-        in_specs=[
-            whole((B, E)),
-            whole((B, E)),
-            whole((B, E)),
+        in_specs=idx_specs + [
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((depth - 1, NB, E, d), lambda i: (0, i, 0, 0)),
             whole(tuple(weights.shape)),
@@ -482,7 +499,7 @@ def fused_dense_mpnn_block_bwd_stash(
             jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
         ],
         interpret=interpret,
-    )(src, dst, emask, h0, hs, weights, cotangent)
+    )(*idx_ops, h0, hs, weights, cotangent)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
@@ -552,14 +569,12 @@ def _bwd_kernel(
     tile: int,
     residual: bool,
     mm_dtype,
+    blocked_idx: bool = False,
 ):
     i = pl.program_id(0)
     h = h0_ref[:]
     NB, E, d = h.shape
-    row0 = i * tile
-    src = src_ref[pl.ds(row0, NB), :]
-    dst = dst_ref[pl.ds(row0, NB), :]
-    emask = emask_ref[pl.ds(row0, NB), :]
+    src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
     A = _edge_adjacency(src, dst, emask, mm)
@@ -650,18 +665,16 @@ def fused_dense_mpnn_block_bwd(
         raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
     emask = edge_mask.astype(jnp.float32)
 
+    idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _bwd_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual,
-        mm_dtype=matmul_dtype,
+        mm_dtype=matmul_dtype, blocked_idx=blocked,
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
         grid=(B // NB,),
-        in_specs=[
-            whole((B, E)),
-            whole((B, E)),
-            whole((B, E)),
+        in_specs=idx_specs + [
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
             whole(tuple(weights.shape)),
             whole((weights.shape[0], d)),
@@ -678,7 +691,7 @@ def fused_dense_mpnn_block_bwd(
             jax.ShapeDtypeStruct((weights.shape[0], d), weights.dtype),
         ],
         interpret=interpret,
-    )(src, dst, emask, edge_hiddens, weights, biases, cotangent)
+    )(*idx_ops, edge_hiddens, weights, biases, cotangent)
 
 
 @functools.partial(
@@ -713,18 +726,16 @@ def fused_dense_mpnn_block(
         raise ValueError(f"batch {B} not divisible by mols_per_tile {NB}")
     emask = edge_mask.astype(jnp.float32)
 
+    idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _block_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual,
-        mm_dtype=matmul_dtype,
+        mm_dtype=matmul_dtype, blocked_idx=blocked,
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
         kernel,
         grid=(B // NB,),
-        in_specs=[
-            whole((B, E)),  # src (sliced per tile in-kernel)
-            whole((B, E)),  # dst
-            whole((B, E)),  # emask
+        in_specs=idx_specs + [
             pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
             whole(tuple(weights.shape)),
             whole(tuple(biases.shape)),
@@ -732,7 +743,7 @@ def fused_dense_mpnn_block(
         out_specs=pl.BlockSpec((NB, E, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
         interpret=interpret,
-    )(src, dst, emask, edge_hiddens, weights, biases)
+    )(*idx_ops, edge_hiddens, weights, biases)
 
 
 fused_dense_mpnn_block_trainable_fast.defvjp(_fast_fwd, _fast_bwd)

@@ -172,6 +172,12 @@ def fused_block_apply(
     reading padded lanes unmasked will diverge from the jnp layouts."""
     from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
 
+    # wide bins shrink the tile to fit scoped VMEM (see
+    # FusedDenseChempropBlock.__call__)
+    E = G.edge_feats.shape[1]
+    while mols_per_tile > 1 and mols_per_tile * E > 8 * 128:
+        mols_per_tile //= 2
+
     params = variables["params"]
     names = [f"layer_{i}" for i in range(depth)] if f"layer_{depth-1}" in params else ["layer"] * depth
     Ws = jnp.stack([params[n]["update"]["kernel"] for n in names])
@@ -280,6 +286,16 @@ class FusedDenseChempropBlock(nn.Module):
 
         B = G.node_feats.shape[0]
         tile = self.mols_per_tile
+        # scale the tile down for WIDE bins: per-tile VMEM grows with E^2
+        # (the A operator) and E*d (state/stash), and at E=256 the default
+        # 8-bin tile exceeds Mosaic's 16MB scoped budget in the stash
+        # backward by ~1MB — hit in production by full-Lipophilicity
+        # training, where the largest molecules push ladder bins to 256
+        # edges. Keep tile*E <= 8*128 (the measured-good envelope); the
+        # blocking does not change the math.
+        E = G.edge_feats.shape[1]
+        while tile > 1 and tile * E > 8 * 128:
+            tile //= 2
         while B % tile != 0:
             tile //= 2
         interpret = jax.default_backend() != "tpu"
@@ -287,6 +303,12 @@ class FusedDenseChempropBlock(nn.Module):
         if self.fuse_ends:
             if self.backward != "stash":
                 raise ValueError("fuse_ends requires backward='stash'")
+            if not interpret and tile % 8 != 0:
+                raise ValueError(
+                    f"fuse_ends needs a multiple-of-8 tile on TPU (got {tile} "
+                    f"for {G.edge_feats.shape[1]}-edge bins — wide bins shrink "
+                    "the tile to fit VMEM); use fuse_ends=False for this batch"
+                )
             node_hiddens, edge_hiddens = fused_dense_encoder(
                 G.node_feats, G.edge_feats, G.src, G.dst, G.edge_mask, Ws, bs,
                 self.depth, self.residual, max(tile, 1), interpret,

@@ -230,3 +230,35 @@ def test_packed_end_to_end_training(smis=None):
     assert preds.shape == (len(smis),)
     # overfit => predictions track targets in ORDER (alignment check)
     assert np.corrcoef(preds, ys)[0, 1] > 0.9
+
+
+def test_fused_block_wide_bins_train(smis):
+    """Large molecules push ladder bins past 128 edges; the fused block must
+    scale its tile down (tile*E <= 1024) and still train — a full-lipo
+    production run OOM'd Mosaic's scoped VMEM at E_b=256 x tile 8 before
+    the adaptive tile (round 4)."""
+    import optax
+
+    from notorch_tpu.data.batching import DataLoader
+    from notorch_tpu.data.dataset import MolecularDataset, TargetSpec, TransformManager
+    from notorch_tpu.models.dmpnn import build_dmpnn
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    # a 100-carbon chain: 99 bonds -> 198 directed edges -> 256-edge bins
+    big = "C" * 100
+    mols = [big] + list(smis[:7])
+    rng = np.random.default_rng(0)
+    ds = MolecularDataset(
+        {"smiles": mols, "y": rng.normal(size=len(mols))},
+        transforms={
+            "g": TransformManager(Pipeline(SmiToMol(), MolToGraph()), in_key="smiles")
+        },
+        targets={"y": TargetSpec(columns=["y"])},
+    )
+    model = build_dmpnn(hidden_dim=32, depth=2, optimizer=optax.adam(1e-3))
+    loader = DataLoader(ds, batch_size=8, layout="dense_packed")
+    batch = next(iter(loader))
+    assert batch["inputs.G"].edge_feats.shape[1] >= 256  # the wide-bin case
+    state = model.init(jax.random.PRNGKey(0), batch)
+    state, logs = model.train_step(state, batch)
+    assert np.isfinite(float(logs["train/loss"]))
