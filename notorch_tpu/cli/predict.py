@@ -100,12 +100,11 @@ def run_predict(
     else:
         layout = "flat"
     loader_kwargs = {}
-    if (
-        meta["model"].get("kind") in ("gat", "graph_transformer")
-        and layout == "dense_packed"
-    ):
-        # lane-aligned bins, matching the training loader (cli/train.py)
-        loader_kwargs = {"bin_edges": 256, "bin_nodes": 128}
+    if meta["model"].get("kind") in ("gat", "graph_transformer"):
+        from notorch_tpu.models.gat import gat_loader_kwargs
+
+        # lane-aligned bins, matching the training loader
+        loader_kwargs = gat_loader_kwargs(layout)
     loader = DataLoader(ds, batch_size=batch_size, layout=layout, **loader_kwargs)
 
     state = model.init(jax.random.PRNGKey(0), next(iter(loader)))

@@ -492,17 +492,27 @@ def _run_halo_spmd(train, transforms, optimizer, model_cfg, trainer_cfg, seed) -
 
 
 def run(cfg: dict) -> dict:
+    """Config-driven training. ``trust_imports: true`` scopes the
+    arbitrary-class instantiation gate to THIS call — the gate is restored
+    afterwards so one trusted config cannot leave the door open for later
+    ``run()``s in the same process (registry.allow_imports is global)."""
+    if not cfg.get("trust_imports"):
+        return _run(cfg)
+    from notorch_tpu.cli import registry
+
+    prev = registry._ALLOW_IMPORTS
+    registry.allow_imports(True)
+    try:
+        return _run(cfg)
+    finally:
+        registry.allow_imports(prev)
+
+
+def _run(cfg: dict) -> dict:
     import jax
 
     from notorch_tpu.data.batching import DataLoader, Subset, random_split
     from notorch_tpu.training.loop import evaluate, fit
-
-    if cfg.get("trust_imports"):
-        # opt-in Hydra-style arbitrary-class instantiation: configs may name
-        # importable classes (module: mypkg.MyBlock) — see cli/registry.py
-        from notorch_tpu.cli.registry import allow_imports
-
-        allow_imports(True)
 
     if cfg.get("model", {}).get("kind") == "pretrain":
         return run_pretrain(cfg)
@@ -589,14 +599,11 @@ def run(cfg: dict) -> dict:
         data_layout = "flat"
     csr_pack = model_cfg.get("impl") == "csr" and data_layout == "flat"
     loader_kwargs = {}
-    if (
-        model_cfg.get("kind") in ("gat", "graph_transformer")
-        and data_layout == "dense_packed"
-    ):
-        # lane-aligned bins for the attention stack: V_b=128 (the default
-        # V_b = E_b//2+8 heuristic gives 136, which pads to 256 lanes in
-        # every [.., V] attention op; measured +32% fwd / +27% train)
-        loader_kwargs = {"bin_edges": 256, "bin_nodes": 128}
+    if model_cfg.get("kind") in ("gat", "graph_transformer"):
+        from notorch_tpu.models.gat import gat_loader_kwargs
+
+        # lane-aligned bins for the attention stack (shared with predict)
+        loader_kwargs = gat_loader_kwargs(data_layout)
     train_loader = DataLoader(
         train, batch_size=batch_size, shuffle=True, seed=seed, layout=data_layout,
         sort_by_size=data_layout == "dense", csr_pack=csr_pack, **loader_kwargs,

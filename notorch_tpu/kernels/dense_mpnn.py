@@ -102,6 +102,21 @@ def _idx_operands(src, dst, emask, B, E, tile):
     return [blk, blk, blk], [rs(src), rs(dst), rs(emask)], True
 
 
+
+def fit_tile(tile: int, edges_per_bin: int, batch: int) -> int:
+    """Shrink a requested bins-per-kernel-tile so (a) per-tile VMEM stays
+    inside the measured-good envelope tile*E <= 8*128 (E_b=256 bins at the
+    default tile 8 exceeded Mosaic's scoped budget — BASELINE.md round 4)
+    and (b) the batch divides evenly. The blocking never changes the math;
+    tile % 8 != 0 switches the index arrays to blocked form (_idx_operands).
+    """
+    while tile > 1 and tile * edges_per_bin > 8 * 128:
+        tile //= 2
+    while batch % tile != 0:
+        tile //= 2
+    return max(tile, 1)
+
+
 def _block_kernel(
     src_ref,  # [B, E] i32 (full array) or [1, tile, E] block
     dst_ref,  # [B, E] i32 (full array) or [1, tile, E] block

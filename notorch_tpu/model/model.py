@@ -153,18 +153,39 @@ class Model:
         return terms
 
     def _term_counts(self, batch: dict) -> dict[str, jnp.ndarray]:
-        """Per-term element counts (the mask sum where the term is masked,
-        else the number of target elements) — the correct batch weights for
+        """Per-term NORMALIZER totals — the correct batch weights for
         averaging per-batch masked means into the global masked mean, so a
-        ragged final batch does not skew ``evaluate()``."""
+        ragged final batch does not skew ``evaluate()``. The weight must be
+        exactly the denominator ``masked_reduce`` used: the mask sum, times
+        the sample weights when the term wires them (``sum(w * m)``) —
+        otherwise the cross-batch recombination of per-batch weighted means
+        would depend on how samples were batched."""
         counts = {}
         for name, cfg in {**self.losses, **self.metrics}.items():
             ks = cfg["in_keys"]
             n = None
             if isinstance(ks, Mapping):
                 mask_key = ks.get("mask")
-                if mask_key is not None and mask_key in batch:
-                    n = batch[mask_key].astype(jnp.float32).sum()
+                sw_key = ks.get("sample_weights")
+                mask = (
+                    batch[mask_key].astype(jnp.float32)
+                    if mask_key is not None and mask_key in batch
+                    else None
+                )
+                sw = (
+                    batch[sw_key].astype(jnp.float32)
+                    if sw_key is not None and sw_key in batch
+                    else None
+                )
+                if sw is not None:
+                    if mask is not None:
+                        swb = sw.reshape(sw.shape + (1,) * (mask.ndim - sw.ndim))
+                        n = (mask * swb).sum()
+                    elif ks.get("targets") in batch:
+                        per_sample = np.prod(batch[ks["targets"]].shape[1:])
+                        n = sw.sum() * jnp.float32(per_sample)
+                elif mask is not None:
+                    n = mask.sum()
                 elif ks.get("targets") in batch:
                     n = jnp.float32(np.prod(batch[ks["targets"]].shape))
             counts[name] = n if n is not None else jnp.float32(1.0)

@@ -171,6 +171,14 @@ def build_dmpnn(
             "the halo message-passing block supports neither dropout nor "
             "remat; build with dropout=0.0, remat=False"
         )
+    if partition == "replicate" and graph_axis is not None and reduce == "mean":
+        raise ValueError(
+            "edge-partitioned (partition='replicate') message passing "
+            "implements reduce='sum' and 'max' (the cross-shard combine is a "
+            "psum/pmax — nn/chemprop.py::_cross_shard_combine); reduce='mean' "
+            "would need a second count psum. Use reduce='sum' or 'max', or "
+            "the molecule partition."
+        )
     mp_psum_axis = graph_axis if partition == "replicate" else None
     readout_psum_axis = graph_axis if partition in ("molecule", "halo") else None
 

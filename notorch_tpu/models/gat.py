@@ -35,6 +35,17 @@ def resolve_gat_layout(layout: str = "auto", *, attention: str = "gatv2") -> str
     return "dense_packed" if attention == "sdp" else "flat"
 
 
+def gat_loader_kwargs(layout: str) -> dict:
+    """DataLoader kwargs for the attention stack's packed bins: LANE-ALIGNED
+    V_b=128 / E_b=256 (the default V_b = E_b//2+8 heuristic gives 136, which
+    pads every [.., V] attention op to 256 lanes; measured +32% fwd / +27%
+    train — BASELINE.md round 4). One source of truth for the train, eval,
+    predict, and serving loaders."""
+    if layout == "dense_packed":
+        return {"bin_edges": 256, "bin_nodes": 128}
+    return {}
+
+
 def build_gat(
     num_tasks: int = 1,
     task: str = "regression",

@@ -170,13 +170,12 @@ def fused_block_apply(
     subtraction). Real lanes agree exactly; consume ``edge_feats`` through a
     mask (as the masked scatter here and every shipped readout/loss does) —
     reading padded lanes unmasked will diverge from the jnp layouts."""
-    from notorch_tpu.kernels.dense_mpnn import fused_dense_mpnn_block
+    from notorch_tpu.kernels.dense_mpnn import fit_tile, fused_dense_mpnn_block
 
-    # wide bins shrink the tile to fit scoped VMEM (see
-    # FusedDenseChempropBlock.__call__)
-    E = G.edge_feats.shape[1]
-    while mols_per_tile > 1 and mols_per_tile * E > 8 * 128:
-        mols_per_tile //= 2
+    # wide bins shrink the tile to fit scoped VMEM — same policy as training
+    mols_per_tile = fit_tile(
+        mols_per_tile, G.edge_feats.shape[1], G.node_feats.shape[0]
+    )
 
     params = variables["params"]
     names = [f"layer_{i}" for i in range(depth)] if f"layer_{depth-1}" in params else ["layer"] * depth
@@ -284,20 +283,13 @@ class FusedDenseChempropBlock(nn.Module):
         Ws = jnp.stack([k for k, _ in per_layer])
         bs = jnp.stack([b for _, b in per_layer])
 
+        from notorch_tpu.kernels.dense_mpnn import fit_tile
+
         B = G.node_feats.shape[0]
-        tile = self.mols_per_tile
-        # scale the tile down for WIDE bins: per-tile VMEM grows with E^2
-        # (the A operator) and E*d (state/stash), and at E=256 the default
-        # 8-bin tile exceeds Mosaic's 16MB scoped budget in the stash
-        # backward by ~1MB — hit in production by full-Lipophilicity
-        # training, where the largest molecules push ladder bins to 256
-        # edges. Keep tile*E <= 8*128 (the measured-good envelope); the
-        # blocking does not change the math.
-        E = G.edge_feats.shape[1]
-        while tile > 1 and tile * E > 8 * 128:
-            tile //= 2
-        while B % tile != 0:
-            tile //= 2
+        # wide bins (full-lipo molecules push ladder bins to 256 edges)
+        # shrink the tile to fit Mosaic's scoped VMEM — one shared policy
+        # with the inference path (kernels.dense_mpnn.fit_tile)
+        tile = fit_tile(self.mols_per_tile, G.edge_feats.shape[1], B)
         interpret = jax.default_backend() != "tpu"
 
         if self.fuse_ends:

@@ -39,6 +39,13 @@ class Checkpointer:
     ) -> None:
         import orbax.checkpoint as ocp
 
+        if self._mgr.latest_step() == step:
+            # orbax silently SKIPS a save whose step equals the latest
+            # checkpoint (fit's epoch-end save lands on the same state.step
+            # as the last checkpoint_every save whenever checkpoint_every
+            # divides the epoch) — delete first so the later save, which
+            # carries the epoch metrics and the advanced cursor, wins
+            self._mgr.delete(step)
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(jax.device_get(state)),

@@ -187,6 +187,15 @@ def fit(
             n = len(pending)
             state, logs = run_group(state, pending)
             handle_logs(logs, n)
+        if to_skip > 0:
+            # the cursor outran the epoch: the dataset shrank or the batch
+            # size changed since the checkpoint — silently "completing" the
+            # epoch would drop training the user expects to happen
+            raise RuntimeError(
+                f"resume cursor ({done_offset} batches) exceeds this epoch's "
+                f"batch count by {to_skip}; resume with the same dataset, "
+                "batch_size, and steps_per_dispatch as the interrupted run"
+            )
         train_logs = {k: float(v) / max(n_batches, 1) for k, v in train_logs.items()}
 
         record = {"epoch": epoch, "time": time.perf_counter() - t0, **train_logs}

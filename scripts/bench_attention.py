@@ -35,20 +35,11 @@ def _arm_watchdog(seconds: int = 2400) -> None:
     t.start()
 
 
+from bench import _measure_chain  # noqa: E402  (shared best-of-N protocol)
+
+
 def measure(run_scalar, target_seconds: float = 1.2):
-    probe = run_scalar(5)
-    float(probe())
-    t0 = time.perf_counter()
-    float(probe())
-    dt5 = time.perf_counter() - t0
-    chain = max(10, min(2000, int(target_seconds / max(dt5 / 5, 1e-5))))
-    run = run_scalar(chain)
-    float(run())
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run())
-        best = min(best, time.perf_counter() - t0)
+    best, chain, _dts = _measure_chain(run_scalar, target_seconds)
     return best, chain
 
 

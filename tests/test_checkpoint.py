@@ -171,3 +171,42 @@ def test_resume_after_completion_is_noop(tmp_path):
     )
     assert res2.history == []  # no epochs re-run
     assert int(res2.state.step) == int(res1.state.step)
+
+
+def test_same_step_save_wins(tmp_path):
+    """orbax silently skips a save whose step equals the latest checkpoint;
+    Checkpointer must delete-and-rewrite so the LATER save (epoch metrics +
+    advanced cursor) wins — fit's epoch-end save lands on the same
+    state.step as the last checkpoint_every save whenever checkpoint_every
+    divides the epoch."""
+    model = build_dmpnn(hidden_dim=16, depth=1, layout="flat")
+    batch = _batch()
+    state = model.init(jax.random.PRNGKey(0), batch)
+    ckpt = Checkpointer(tmp_path / "ck")
+    ckpt.save(state, step=5, extra={"epoch": 0, "batches_done": 3})
+    state2, _ = model.train_step(state, batch)
+    ckpt.save(state2, step=5, metrics={"train/loss": 1.0},
+              extra={"epoch": 1, "batches_done": 0})
+    restored, extra = ckpt.restore(model.init(jax.random.PRNGKey(1), batch),
+                                   with_extra=True)
+    assert extra == {"epoch": 1, "batches_done": 0}
+    # the LATER state was stored (step advanced by the train_step)
+    assert int(restored.step) == int(state2.step)
+
+
+def test_resume_cursor_overrun_raises(tmp_path):
+    """A cursor beyond the epoch's batch count (dataset shrank / batch size
+    changed) must raise, not silently skip the epoch."""
+    import pytest
+
+    from notorch_tpu.training.loop import fit
+
+    make_loader, make_model = _lipo_pieces(n=16, dropout=0.0)
+    model = make_model()
+    loader = make_loader()
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    ckpt = Checkpointer(tmp_path / "ck")
+    # forge a cursor that exceeds the 2-batch epoch
+    ckpt.save(state, step=0, extra={"epoch": 0, "batches_done": 99})
+    with pytest.raises(RuntimeError, match="exceeds"):
+        fit(model, state, make_loader(), epochs=1, checkpointer=ckpt, resume=True)

@@ -115,3 +115,27 @@ def test_config_declared_custom_module_trains(tmp_path):
     registry.allow_imports(False)
     with pytest.raises(PermissionError, match="trust"):
         run(cfg)
+
+
+def test_trust_gate_scoped_to_one_run(tmp_path):
+    """run(trusted_cfg) must not leave the global import gate open for
+    later runs in the same process."""
+    import pandas as pd
+
+    from notorch_tpu.cli.train import run
+
+    small = tmp_path / "small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(16).to_csv(small, index=False)
+    cfg = {
+        "trust_imports": True,
+        "data": {
+            "csv": str(small),
+            "smiles_col": "smiles",
+            "targets": {"y": {"columns": ["lipo"], "task": "regression"}},
+        },
+        "model": {"kind": "dmpnn", "hidden_dim": 16, "depth": 1, "layout": "flat"},
+        "trainer": {"epochs": 1, "batch_size": 8, "prefetch": 0},
+    }
+    run(cfg)
+    with pytest.raises(PermissionError):
+        registry.resolve("tests.custom_blocks.ScaledHead")

@@ -156,3 +156,69 @@ def test_masked_reduce_weighted_mean():
     np.testing.assert_allclose(
         float(masked_reduce(loss, mask=jnp.zeros_like(mask))), 0.0
     )
+
+
+def test_eval_recombination_with_sample_weights():
+    """Per-batch weighted means recombine into the true global weighted mean:
+    evaluate() weights each batch by the NORMALIZER masked_reduce used
+    (sum(w*m) when sample_weights are wired), so the reported metric does
+    not depend on how samples were batched."""
+    import jax.numpy as jnp
+
+    from notorch_tpu.data.graph import pad_graphs
+    from notorch_tpu.model.model import Model
+    from notorch_tpu.nn.agg import Mean
+    from notorch_tpu.nn.chemprop import ChempropBlock
+    from notorch_tpu.nn.embed import GraphEmbedding
+    from notorch_tpu.nn.mlp import MLP
+    from notorch_tpu.tasks.losses import MSE
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    rng = np.random.default_rng(0)
+
+    def batch_of(smis_sub, ys, ws):
+        gs = [pipe(s) for s in smis_sub]
+        bg = pad_graphs(gs, 64, 128, graph_cap=len(gs))
+        return {
+            "inputs.G": bg,
+            "targets.y": np.asarray(ys, np.float32).reshape(-1, 1),
+            "targets.y_mask": np.ones((len(gs), 1), bool),
+            "targets.w": np.asarray(ws, np.float32),
+        }
+
+    in_keys = {
+        "preds": "ffn.preds",
+        "targets": "targets.y",
+        "mask": "targets.y_mask",
+        "sample_weights": "targets.w",
+    }
+    model = Model(
+        modules={
+            "embed": {"module": GraphEmbedding(hidden_dim=8), "in_keys": ["inputs.G"], "out_keys": ["G"]},
+            "mp": {"module": ChempropBlock(hidden_dim=8, depth=1), "in_keys": ["embed.G"], "out_keys": ["G"]},
+            "readout": {"module": Mean(), "in_keys": ["mp.G"], "out_keys": ["H"]},
+            "ffn": {"module": MLP(8, 1), "in_keys": ["readout.H"], "out_keys": ["preds"]},
+        },
+        losses={"mse": {"fn": MSE(), "in_keys": in_keys, "weight": 1.0}},
+    )
+    smis8 = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CCCC", "c1ccncc1", "CCS", "OCCO"]
+    ys = rng.normal(size=8)
+    ws = rng.uniform(0.1, 3.0, size=8)
+    full = batch_of(smis8, ys, ws)
+    state = model.init(jax.random.PRNGKey(0), full)
+
+    # global weighted mean in ONE batch
+    logs_full, _ = model.eval_step(state.params, full)
+    v_full = float(logs_full["val/loss"])
+
+    # UNEVEN split into two batches, recombined with the _count weights
+    b1 = batch_of(smis8[:3], ys[:3], ws[:3])
+    b2 = batch_of(smis8[3:], ys[3:], ws[3:])
+    num = den = 0.0
+    for b in (b1, b2):
+        logs, _ = model.eval_step(state.params, b)
+        w = float(logs["_count/val/loss"])
+        num += float(logs["val/loss"]) * w
+        den += w
+    np.testing.assert_allclose(num / den, v_full, rtol=1e-5)
