@@ -155,7 +155,13 @@ def build_optimizer(cfg: dict | None):
             lr = optax.cosine_decay_schedule(**s["cosine"])
         elif "warmup_cosine" in s:
             lr = optax.warmup_cosine_decay_schedule(**s["warmup_cosine"])
-    return resolve(cfg.get("name", "adam"))(lr)
+    opt = resolve(cfg.get("name", "adam"))(lr)
+    clip = cfg.get("clip_norm")
+    if clip:
+        # global-norm gradient clipping ahead of the update rule — the
+        # reference reaches this through Lightning's Trainer(gradient_clip_val)
+        opt = optax.chain(optax.clip_by_global_norm(float(clip)), opt)
+    return opt
 
 
 def build_model(cfg: dict, transforms: dict | None, optimizer):
@@ -639,7 +645,10 @@ def _run(cfg: dict) -> dict:
         from notorch_tpu.training.checkpoint import Checkpointer
 
         checkpointer = Checkpointer(
-            trainer_cfg["checkpoint_dir"], max_to_keep=trainer_cfg.get("max_to_keep", 3)
+            trainer_cfg["checkpoint_dir"],
+            max_to_keep=trainer_cfg.get("max_to_keep", 3),
+            best_by=trainer_cfg.get("best_by"),
+            best_mode=trainer_cfg.get("best_mode", "min"),
         )
         _save_predict_meta(trainer_cfg["checkpoint_dir"], cfg, transforms, ds, pred_key)
 
@@ -670,19 +679,26 @@ def _run(cfg: dict) -> dict:
         resume=trainer_cfg.get("resume", False),
         checkpoint_every=trainer_cfg.get("checkpoint_every", 0),
         steps_per_dispatch=steps_per_dispatch,
+        early_stopping=trainer_cfg.get("early_stopping"),
     )
 
-    out = {"history": result.history}
+    out = {"history": result.history, "stopped_early": result.stopped_early}
+    final_state = result.state
+    if checkpointer is not None and checkpointer.best_step() is not None:
+        # test/predict with the BEST epoch's weights, not the last
+        # (Lightning's ModelCheckpoint(monitor=...) + Trainer.test(best) flow)
+        final_state = checkpointer.restore(result.state, step=checkpointer.best_step())
+        out["best_step"] = int(checkpointer.best_step())
     if test is not None:
         test_loader = DataLoader(
             test, batch_size=batch_size, layout=data_layout, **loader_kwargs
         )
         out["test"] = evaluate(
             model,
-            result.state.params,
+            final_state.params,
             test_loader,
             host_metrics=host_metrics or None,
-            extra_vars=result.state.extra_vars,
+            extra_vars=final_state.extra_vars,
         )
         print(json.dumps({"test": {k: _jsonable(v) for k, v in out["test"].items()}}))
 
@@ -696,8 +712,8 @@ def _run(cfg: dict) -> dict:
             target, batch_size=batch_size, layout=data_layout, **loader_kwargs
         )
         preds = predict(
-            model, result.state.params, loader, keys=[pred_key],
-            extra_vars=result.state.extra_vars,
+            model, final_state.params, loader, keys=[pred_key],
+            extra_vars=final_state.extra_vars,
         )[pred_key][: len(target)]
         flat = preds.reshape(len(target), -1)
         with open(pred_csv, "w") as f:

@@ -34,7 +34,16 @@ from notorch_tpu.data.dense import DenseBatchedGraph
 
 
 class DenseGraphSelfAttention(nn.Module):
-    """Edge-restricted multi-head self-attention, dense layout."""
+    """Edge-restricted multi-head self-attention, dense layout.
+
+    ``impl="fused"`` routes the attention core (mask/bias build + masked
+    softmax + combine) through the Pallas kernel
+    (:func:`notorch_tpu.kernels.dense_attention.fused_dense_attention`) —
+    the [B, H, V, V] score/alpha tensors then live only in VMEM, and the
+    backward recomputes them per tile with the bias VJP fused. The q/k/v/o
+    projections stay in XLA either way. ``impl="jnp"`` is the reference
+    einsum path (the autodiff oracle); ``impl="auto"`` picks fused for f32.
+    """
 
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     num_heads: int = 4
@@ -44,7 +53,15 @@ class DenseGraphSelfAttention(nn.Module):
     # "einsum3" leaves the 3-operand contraction to XLA
     edge_bias: bool = True
     bias_impl: str = "two_step"
+    impl: str = "jnp"  # "jnp" | "fused" | "auto"
+    bins_per_tile: int = 8
+    interpret: bool = False  # Pallas interpret mode (CPU tests)
     dtype: Any = jnp.float32
+
+    def _resolve_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        return "fused" if self.dtype == jnp.float32 else "jnp"
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
@@ -54,6 +71,26 @@ class DenseGraphSelfAttention(nn.Module):
 
         x = G.node_feats
         B, V, _ = x.shape
+
+        if self._resolve_impl() == "fused":
+            from notorch_tpu.kernels.dense_attention import fused_dense_attention
+
+            q = nn.Dense(d, dtype=self.dtype, name="W_q")(x)
+            k = nn.Dense(d, dtype=self.dtype, name="W_k")(x)
+            v = nn.Dense(d, dtype=self.dtype, name="W_v")(x)
+            eb = None
+            if self.edge_bias and G.edge_feats.ndim == 3:
+                # [B, E, H] -> [B, H, E]: lane-aligned minor dim for VMEM
+                eb = jnp.swapaxes(
+                    nn.Dense(H, dtype=self.dtype, name="W_bias")(G.edge_feats), 1, 2
+                )
+            out = fused_dense_attention(
+                q, k, v, eb, G.src, G.dst, G.edge_mask,
+                H, self.bins_per_tile, self.interpret,
+            )
+            out = nn.Dense(d, dtype=self.dtype, name="W_o")(out)
+            return G.update(node_feats=out)
+
         q = nn.Dense(d, dtype=self.dtype, name="W_q")(x).reshape(B, V, H, dh)
         k = nn.Dense(d, dtype=self.dtype, name="W_k")(x).reshape(B, V, H, dh)
         v = nn.Dense(d, dtype=self.dtype, name="W_v")(x).reshape(B, V, H, dh)
@@ -101,6 +138,9 @@ class DenseGATBlock(nn.Module):
     residual: bool = True
     edge_bias: bool = True
     bias_impl: str = "two_step"
+    impl: str = "jnp"  # attention-core impl: "jnp" | "fused" | "auto"
+    bins_per_tile: int = 8
+    interpret: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,6 +153,9 @@ class DenseGATBlock(nn.Module):
                 num_heads=self.num_heads,
                 edge_bias=self.edge_bias,
                 bias_impl=self.bias_impl,
+                impl=self.impl,
+                bins_per_tile=self.bins_per_tile,
+                interpret=self.interpret,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )

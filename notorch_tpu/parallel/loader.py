@@ -60,6 +60,14 @@ class ShardedDataLoader:
             self._cache[idx] = hit
         return hit
 
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch-keyed shuffle order (pure function of (seed, epoch)) — lets
+        ``fit(resume=True)`` fast-forward an interrupted epoch exactly, the
+        same contract as the single-chip ``DataLoader``."""
+        set_epoch = getattr(self.sampler, "set_epoch", None)
+        if callable(set_epoch):
+            set_epoch(epoch)
+
     def __len__(self) -> int:
         return len(self.sampler) // self.global_batch
 
@@ -99,20 +107,15 @@ class ShardedDataLoader:
             )
 
 
-def spmd_fit(trainer, state, loader, epochs: int = 1, log_fn=None):
-    """Minimal epoch loop over a :class:`ShardedDataLoader`."""
-    history = []
-    for epoch in range(epochs):
-        sums: dict = {}
-        n = 0
-        for batch in loader:
-            state, logs = trainer.train_step(state, batch)
-            n += 1
-            for k, v in logs.items():
-                # device-side accumulation: float() here would sync per step
-                sums[k] = sums.get(k, 0.0) + v
-        record = {"epoch": epoch, **{k: float(v) / max(n, 1) for k, v in sums.items()}}
-        history.append(record)
-        if log_fn:
-            log_fn(record)
-    return state, history
+def spmd_fit(trainer, state, loader, epochs: int = 1, log_fn=None, **fit_kwargs):
+    """Epoch loop over a :class:`ShardedDataLoader` — delegates to
+    :func:`notorch_tpu.training.loop.fit` (SPMD trainers satisfy its
+    ``train_step`` contract), so ``checkpointer=``/``resume=True``/
+    ``checkpoint_every=K`` give the sharded trainers the same preemption
+    safety as the single-chip path: the Checkpointer detects sharded
+    TrainStates and saves/restores them mesh-native.
+    Returns ``(state, history)`` for backward compatibility."""
+    from notorch_tpu.training.loop import fit
+
+    res = fit(trainer, state, loader, epochs=epochs, log_fn=log_fn, **fit_kwargs)
+    return res.state, res.history

@@ -180,13 +180,19 @@ class SpmdTrainer:
             )
         )(stacked_batch)
         opt_state = self.model.optimizer.init(params)
-        return TrainState(
+        state = TrainState(
             params=params,
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
             extra_vars=extra_vars,
         )
+        # commit the WHOLE state to the mesh (optimizer.init above ran
+        # outside the mesh, so its leaves sit on one device): keeps every
+        # leaf's layout consistent for sharded checkpoint restore
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     def train_step(self, state: TrainState, stacked_batch):
         return self._train_step(state, stacked_batch)

@@ -22,6 +22,7 @@ from notorch_tpu.model.model import Model, TrainState
 class FitResult:
     state: TrainState
     history: list[dict] = field(default_factory=list)
+    stopped_early: bool = False
 
 
 def _shape_signature(batch) -> tuple:
@@ -55,6 +56,7 @@ def fit(
     resume: bool = False,
     checkpoint_every: int = 0,
     steps_per_dispatch: int = 1,
+    early_stopping: Mapping | None = None,
 ) -> FitResult:
     """Run the jitted train step over the loader for ``epochs`` epochs.
 
@@ -81,9 +83,28 @@ def fit(
     device dispatch via :meth:`Model.train_steps` (``lax.scan`` over the
     stacked batches). Identical math to step-by-step training; amortizes
     launch/tunnel latency, which dominates small-molecule steps on TPU.
+
+    ``early_stopping={"monitor": "val/rmse", "patience": 5, "mode": "min",
+    "min_delta": 0.0}`` stops training when the monitored epoch metric has
+    not improved (by > min_delta) for ``patience`` consecutive epochs —
+    the reference gets this from Lightning's ``EarlyStopping`` callback
+    injected via Hydra (``notorch/cli/utils/instantiate.py:9-43``). Pair
+    with ``Checkpointer(best_by=...)`` to keep / restore the BEST epoch.
+    ``model`` may also be an SPMD trainer (``SpmdTrainer`` /
+    ``DenseSpmdTrainer``): they expose the same ``train_step`` contract and
+    the checkpointer saves/restores their sharded states natively.
     """
     history = []
     start_epoch = 0
+    es_monitor = es_best = None
+    es_wait = 0
+    if early_stopping is not None:
+        es_monitor = early_stopping["monitor"]
+        es_patience = int(early_stopping.get("patience", 5))
+        es_mode = early_stopping.get("mode", "min")
+        es_delta = float(early_stopping.get("min_delta", 0.0))
+        if es_mode not in ("min", "max"):
+            raise ValueError(f"early_stopping mode must be min|max, got {es_mode!r}")
     skip_batches = 0
     if resume and checkpointer is not None and checkpointer.latest_step() is not None:
         state, extra = checkpointer.restore(state, with_extra=True)
@@ -213,6 +234,25 @@ def fit(
                 metrics=record,
                 extra={"epoch": epoch + 1, "batches_done": 0},
             )
+        if es_monitor is not None:
+            if es_monitor not in record:
+                raise KeyError(
+                    f"early_stopping monitor {es_monitor!r} not in the epoch "
+                    f"record; available: {sorted(record)} (a val/ metric "
+                    "requires val_loader)"
+                )
+            value = float(record[es_monitor])
+            improved = es_best is None or (
+                value < es_best - es_delta
+                if es_mode == "min"
+                else value > es_best + es_delta
+            )
+            if improved:
+                es_best, es_wait = value, 0
+            else:
+                es_wait += 1
+                if es_wait >= es_patience:
+                    return FitResult(state=state, history=history, stopped_early=True)
     return FitResult(state=state, history=history)
 
 

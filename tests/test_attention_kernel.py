@@ -1,0 +1,108 @@
+"""Fused Pallas attention kernel: parity with the jnp dense path (interpret
+mode on CPU — the same kernel code Mosaic compiles on TPU).
+
+The jnp ``DenseGraphSelfAttention`` is itself parity-gated against the flat
+oracle (tests/test_gat.py), so matching it transitively pins the kernel to
+the reference semantics (``notorch/nn/gnn/attention.py:42``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from notorch_tpu.data.dense import pack_graphs_dense, plan_bins
+from notorch_tpu.nn.attention_dense import DenseGATBlock, DenseGraphSelfAttention
+from notorch_tpu.nn.chemprop_dense import DenseGraphEmbedding
+from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+SMIS = [
+    "CCO", "c1ccccc1C(=O)O", "CC(C)CC(N)C(=O)O", "O", "CCN(CC)CC",
+    "c1ccc2c(c1)cccc2", "CC(=O)Nc1ccc(O)cc1", "C1CCCCC1", "CCOC(=O)C",
+    "NC(=O)c1ccccc1", "OCC(O)CO", "CSC",
+]
+
+
+@pytest.fixture(scope="module")
+def packed():
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    graphs = [pipe(s) for s in SMIS]
+    n_bins = len(plan_bins(graphs, 32, 64))
+    n_bins = -(-n_bins // 2) * 2  # even bin count exercises a multi-tile grid
+    pk = pack_graphs_dense(graphs, 32, 64, bin_cap=n_bins)
+    key = jax.random.PRNGKey(0)
+    dembed = DenseGraphEmbedding(42, 13, hidden_dim=16)
+    ev = dembed.init(key, pk)
+    return dembed.apply(ev, pk)
+
+
+@pytest.mark.parametrize("edge_bias", [True, False])
+def test_fused_attention_forward_parity(packed, edge_bias):
+    key = jax.random.PRNGKey(1)
+    ref = DenseGraphSelfAttention(hidden_dim=16, num_heads=2, edge_bias=edge_bias)
+    params = ref.init(key, packed)
+    out_ref = ref.apply(params, packed).node_feats
+
+    fused = DenseGraphSelfAttention(
+        hidden_dim=16, num_heads=2, edge_bias=edge_bias,
+        impl="fused", bins_per_tile=2, interpret=True,
+    )
+    out_fused = fused.apply(params, packed).node_feats  # SAME params
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_attention_grad_parity(packed):
+    """Full-block (attention + FFN + residual, depth 2) gradient parity:
+    params AND input node features."""
+    key = jax.random.PRNGKey(2)
+    ref = DenseGATBlock(hidden_dim=16, depth=2, num_heads=2)
+    params = ref.init(key, packed)
+    fused = DenseGATBlock(
+        hidden_dim=16, depth=2, num_heads=2,
+        impl="fused", bins_per_tile=2, interpret=True,
+    )
+
+    def loss(block):
+        def f(p, x):
+            out = block.apply(p, packed.update(node_feats=x)).node_feats
+            # weight the loss asymmetrically so cotangents aren't uniform
+            w = jnp.arange(out.shape[-1], dtype=out.dtype)[None, None, :]
+            return jnp.sum(jnp.sin(out) * w)
+        return f
+
+    x = packed.node_feats
+    l_ref, g_ref = jax.value_and_grad(loss(ref), argnums=(0, 1))(params, x)
+    l_fused, g_fused = jax.value_and_grad(loss(fused), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_fused = jax.tree.leaves(g_fused)
+    for a, b in zip(flat_fused, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_fused_attention_odd_batch(packed):
+    """bins_per_tile larger than / not dividing the batch still routes
+    through fit_attn_tile without changing the math."""
+    key = jax.random.PRNGKey(3)
+    ref = DenseGraphSelfAttention(hidden_dim=16, num_heads=2)
+    params = ref.init(key, packed)
+    out_ref = ref.apply(params, packed).node_feats
+    fused = DenseGraphSelfAttention(
+        hidden_dim=16, num_heads=2, impl="fused", bins_per_tile=64, interpret=True,
+    )
+    out_fused = fused.apply(params, packed).node_feats
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fit_attn_tile():
+    from notorch_tpu.kernels.dense_attention import fit_attn_tile
+
+    assert fit_attn_tile(8, 128, 256, 16) == 8  # production shape fits tile 8
+    assert fit_attn_tile(16, 128, 256, 16) == 8  # envelope clamps 16
+    assert fit_attn_tile(8, 32, 64, 6) in (1, 2)  # must divide the batch
+    assert fit_attn_tile(8, 32, 64, 8) == 8
