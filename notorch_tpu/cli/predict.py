@@ -37,6 +37,11 @@ def run_predict(
     from notorch_tpu.tasks import transforms as task_transforms
     from notorch_tpu.training.checkpoint import Checkpointer
     from notorch_tpu.training.loop import predict
+    from notorch_tpu.utils import enable_compilation_cache
+
+    # a cold serving process re-compiles every bucket shape without this
+    # (measured 3.3x cold/warm end to end on v5e — BASELINE.md round 4)
+    enable_compilation_cache()
 
     meta_path = Path(checkpoint_dir) / "predict_meta.json"
     if not meta_path.exists():

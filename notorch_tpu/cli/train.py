@@ -519,6 +519,12 @@ def _run(cfg: dict) -> dict:
 
     from notorch_tpu.data.batching import DataLoader, Subset, random_split
     from notorch_tpu.training.loop import evaluate, fit
+    from notorch_tpu.utils import enable_compilation_cache
+
+    # persistent XLA compile cache: re-runs of the same config (and the
+    # serving CLI sharing the same shapes) skip recompilation across
+    # processes; trainer.compilation_cache: off / a directory overrides
+    enable_compilation_cache(cfg.get("trainer", {}).get("compilation_cache"))
 
     if cfg.get("model", {}).get("kind") == "pretrain":
         return run_pretrain(cfg)

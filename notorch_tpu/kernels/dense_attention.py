@@ -53,8 +53,9 @@ def fit_attn_tile(tile: int, nodes_per_bin: int, edges_per_bin: int, batch: int)
     the envelope (the [V, V] per-head score tensors plus the [E, V] one-hot
     operators are the big residents) and the batch divides evenly."""
     # budget heuristic: V*V + 2*E*V + 4*V*d transients per bin; at the
-    # production shape (V=128, E=256, d=256) tile 8 lands ~8 MB
-    while tile > 1 and tile * max(edges_per_bin, nodes_per_bin) > 8 * 256:
+    # production shape (V=128, E=256, d=256) tile 4 lands ~7 MB (tile 8
+    # fails the Mosaic remote compile — HTTP 500, round-5 probe)
+    while tile > 1 and tile * max(edges_per_bin, nodes_per_bin) > 4 * 256:
         tile //= 2
     while batch % tile != 0:
         tile //= 2
@@ -312,33 +313,69 @@ def fused_dense_attention_bwd(
     )(*idx_ops, q, k, v, eb, cotangent)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _jnp_attention_core(q, k, v, eb, src, dst, edge_mask, num_heads):
+    """The XLA forward (same math as DenseGraphSelfAttention's jnp path,
+    with the bias scatter as one 3-operand einsum). Measured FASTER than
+    the Pallas forward on v5e (XLA's batched einsums reach ~119 TFLOP/s on
+    these shapes; the per-head kernel matmuls do not — round-5 decomposition,
+    scripts/exp_attn_decomp_r5.py), so the hybrid keeps it."""
+    B, V, d = q.shape
+    H = num_heads
+    dh = d // H
+    v_ids = jnp.arange(V)
+    S = ((dst[:, None, :] == v_ids[None, :, None]) & edge_mask[:, None, :]).astype(
+        q.dtype
+    )  # [B, V, E]
+    Gm = (src[:, :, None] == v_ids[None, None, :]).astype(q.dtype)  # [B, E, V]
+    M = jnp.einsum("bie,bej->bij", S, Gm)
+    qh = q.reshape(B, V, H, dh)
+    kh = k.reshape(B, V, H, dh)
+    vh = v.reshape(B, V, H, dh)
+    scores = jnp.einsum("bihd,bjhd->bhij", qh, kh) / jnp.sqrt(float(dh))
+    if eb is not None:
+        scores = scores + jnp.einsum("bie,bhe,bej->bhij", S, eb, Gm)
+    mask = (M > 0)[:, None, :, :]
+    neg = jnp.where(mask, scores, -jnp.inf)
+    mx = jnp.max(neg, axis=-1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
+    alpha = ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+    return jnp.einsum("bhij,bjhd->bihd", alpha, vh).reshape(B, V, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_dense_attention(
     q, k, v, eb, src, dst, edge_mask,
     num_heads: int, bins_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    fwd_impl: str = "jnp",
 ):
-    """Trainable fused attention core. ``eb`` is the per-edge additive score
-    bias laid out [B, H, E] (lane-aligned minor dim), or None for unbiased
-    attention. The [V, V] score/alpha tensors never touch HBM either way."""
-    return fused_dense_attention_fwd(
-        q, k, v, eb, src, dst, edge_mask,
-        num_heads=num_heads, bins_per_tile=bins_per_tile,
-        interpret=interpret, matmul_dtype=matmul_dtype,
-    )
+    """Trainable attention core with the Pallas recompute BACKWARD (the
+    [B, H, V, V] alpha/score tensors never hit HBM on the backward, and the
+    bias VJP is fused in-kernel). ``fwd_impl`` picks the forward: "jnp"
+    (default — XLA's einsum forward measured faster than the Pallas forward
+    at the production shapes) or "pallas" (single kernel, minimal HBM: for
+    HBM-constrained serving). ``eb`` is the per-edge additive score bias
+    laid out [B, H, E], or None."""
+    if fwd_impl == "pallas":
+        return fused_dense_attention_fwd(
+            q, k, v, eb, src, dst, edge_mask,
+            num_heads=num_heads, bins_per_tile=bins_per_tile,
+            interpret=interpret, matmul_dtype=matmul_dtype,
+        )
+    return _jnp_attention_core(q, k, v, eb, src, dst, edge_mask, num_heads)
 
 
 def _fda_fwd(q, k, v, eb, src, dst, edge_mask,
-             num_heads, bins_per_tile, interpret, matmul_dtype):
-    out = fused_dense_attention_fwd(
+             num_heads, bins_per_tile, interpret, matmul_dtype, fwd_impl):
+    out = fused_dense_attention(
         q, k, v, eb, src, dst, edge_mask,
-        num_heads=num_heads, bins_per_tile=bins_per_tile,
-        interpret=interpret, matmul_dtype=matmul_dtype,
+        num_heads, bins_per_tile, interpret, matmul_dtype, fwd_impl,
     )
     return out, (q, k, v, eb, src, dst, edge_mask)
 
 
-def _fda_bwd(num_heads, bins_per_tile, interpret, matmul_dtype, res, g):
+def _fda_bwd(num_heads, bins_per_tile, interpret, matmul_dtype, fwd_impl, res, g):
     q, k, v, eb, src, dst, edge_mask = res
     g_q, g_k, g_v, g_eb = fused_dense_attention_bwd(
         q, k, v, eb, src, dst, edge_mask, g,

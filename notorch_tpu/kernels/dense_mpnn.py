@@ -45,7 +45,7 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
-def _edge_adjacency(src, dst, emask, mm_dtype):
+def _edge_adjacency(src, dst, emask, mm_dtype, mean: bool = False):
     """``A[b,e,e'] = 1 iff src[e] == dst[e'], e' is a real edge, AND
     e' != rev(e)`` — the collapsed scatter+gather operator with the
     reverse-message subtraction FOLDED IN. Under the interleaved pair
@@ -57,11 +57,20 @@ def _edge_adjacency(src, dst, emask, mm_dtype):
     that chain at ~36% of block time). Built with broadcast compares in
     VMEM; never touches HBM.
 
+    ``mean=True`` folds reduce='mean' message passing into the SAME
+    operator: mean is linear, so A_mean[e,e'] = keep[e,e'] / indeg(src(e))
+    minus the full rev diagonal (the jnp form subtracts the UNSCALED
+    m[rev(e)] after the mean gather — reference
+    ``notorch/nn/gnn/chemprop.py:25,39`` with ``torch_scatter`` mean). The
+    in-degree is recovered in-register as the keep row-sum, so mean costs
+    one VPU reduce + divide and ZERO extra matmuls.
+
     Contract: kernel outputs on PADDED edge lanes differ from the
-    unfolded/jnp form (they no longer see the swap subtraction), and the
-    backward treats cotangents as supported on real lanes only — every
-    production consumer (masked scatter, masked readouts, masked losses)
-    satisfies both."""
+    unfolded/jnp form (they no longer see the swap subtraction; for mean
+    the rev diagonal is subtracted on padded rows too), and the backward
+    treats cotangents as supported on real lanes only — every production
+    consumer (masked scatter, masked readouts, masked losses) satisfies
+    both."""
     NB, E = src.shape
     mask_ok = emask.astype(jnp.float32) > 0.0
     # the not-rev mask is bin-INDEPENDENT: build it [E, E] once and
@@ -72,6 +81,11 @@ def _edge_adjacency(src, dst, emask, mm_dtype):
     col = jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
     rev_row = row + 1 - 2 * (row % 2)
     keep = (src[:, :, None] == dst[:, None, :]) & mask_ok[:, None, :]
+    if mean:
+        keep_f = jnp.where(keep, 1.0, 0.0)
+        indeg = jnp.sum(keep_f, axis=2, keepdims=True)  # [NB, E, 1] f32
+        rev1 = jnp.where((col == rev_row)[None], 1.0, 0.0)
+        return (keep_f / jnp.maximum(indeg, 1.0) - rev1).astype(mm_dtype)
     return jnp.where(keep & (col != rev_row)[None], 1.0, 0.0).astype(mm_dtype)
 
 
@@ -132,6 +146,7 @@ def _block_kernel(
     residual: bool,
     mm_dtype,
     blocked_idx: bool = False,
+    mean: bool = False,
 ):
     i = pl.program_id(0)
     h = h_ref[:]
@@ -139,7 +154,7 @@ def _block_kernel(
     src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
-    A = _edge_adjacency(src, dst, emask, mm)
+    A = _edge_adjacency(src, dst, emask, mm, mean)
 
     for layer_idx in range(depth):  # static unroll
         m = jnp.maximum(h, 0.0)
@@ -171,12 +186,13 @@ def _block_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
 )
 def fused_dense_mpnn_block_trainable(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    reduce: str = "sum",
 ):
     """Differentiable wrapper: Pallas forward, hand-written backward that
     replays the (cheap) forward in jnp to recover per-layer residuals — so
@@ -185,7 +201,7 @@ def fused_dense_mpnn_block_trainable(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
 
 
@@ -209,18 +225,19 @@ def _jnp_forward_collect(h0, S, G, weights, biases, depth, residual):
 
 
 def _fused_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
-               depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype):
+               depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
+               reduce):
     out = fused_dense_mpnn_block(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
     return out, (edge_hiddens, src, dst, edge_mask, weights, biases)
 
 
 def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
-               res, g):
+               reduce, res, g):
     h0, src, dst, edge_mask, weights, biases = res
     B, E, d = h0.shape
     v_ids = jnp.arange(n_nodes)
@@ -228,6 +245,10 @@ def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
         h0.dtype
     )
     G = (src[:, :, None] == v_ids[None, None, :]).astype(h0.dtype)
+    if reduce == "mean":
+        # scaled scatter: rows divided by real in-degree (the unscaled rev
+        # subtraction stays a pair_swap below — matches _edge_adjacency)
+        S = S / jnp.maximum(S.sum(axis=-1, keepdims=True), 1.0)
 
     def pair_swap(x):
         p = x.reshape(B, E // 2, 2, -1)
@@ -258,11 +279,12 @@ def _fused_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
 fused_dense_mpnn_block_trainable.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_dense_mpnn_block_trainable_fast(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    reduce: str = "sum",
 ):
     """Like :func:`fused_dense_mpnn_block_trainable` but with the BACKWARD
     also running as a Pallas kernel (per-tile recompute + reverse sweep in
@@ -272,29 +294,30 @@ def fused_dense_mpnn_block_trainable_fast(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
 
 
 def _fast_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
-              depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype):
+              depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
+              reduce):
     out = fused_dense_mpnn_block(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
     return out, (edge_hiddens, src, dst, edge_mask, weights, biases)
 
 
 def _fast_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
-              res, g):
+              reduce, res, g):
     h0, src, dst, edge_mask, weights, biases = res
     g_h0, g_W, g_b = fused_dense_mpnn_block_bwd(
         h0, src, dst, edge_mask, weights, biases, g,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
     return g_h0, None, None, None, g_W, g_b
 
@@ -320,7 +343,7 @@ def _block_kernel_stash(
     out_ref,  # [NB, E, d]
     hs_ref,  # [depth-1, NB, E, d] — HIDDEN layer inputs h1..h_{depth-1}
     *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
-    blocked_idx: bool = False,
+    blocked_idx: bool = False, mean: bool = False,
 ):
     i = pl.program_id(0)
     h = h_ref[:]
@@ -328,7 +351,7 @@ def _block_kernel_stash(
     src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
-    A = _edge_adjacency(src, dst, emask, mm)
+    A = _edge_adjacency(src, dst, emask, mm, mean)
 
     for layer_idx in range(depth):
         if layer_idx > 0:  # h0 is the kernel input — never re-stashed
@@ -360,7 +383,7 @@ def _bwd_kernel_stash(
     w_ref, g_ref,
     gh_ref, gw_ref, gb_ref,
     *, depth: int, n_nodes: int, tile: int, residual: bool, mm_dtype,
-    blocked_idx: bool = False,
+    blocked_idx: bool = False, mean: bool = False,
 ):
     i = pl.program_id(0)
     NB, E, d = g_ref.shape
@@ -368,7 +391,7 @@ def _bwd_kernel_stash(
     dt = g_ref.dtype
     mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
 
-    A = _edge_adjacency(src, dst, emask, mm)
+    A = _edge_adjacency(src, dst, emask, mm, mean)
 
     @pl.when(i == 0)
     def _init():
@@ -407,14 +430,14 @@ def _bwd_kernel_stash(
     jax.jit,
     static_argnames=(
         "depth", "n_nodes", "residual", "mols_per_tile", "interpret",
-        "matmul_dtype", "stash_dtype",
+        "matmul_dtype", "stash_dtype", "reduce",
     ),
 )
 def fused_dense_mpnn_block_stash(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
-    stash_dtype: str | None = None,
+    stash_dtype: str | None = None, reduce: str = "sum",
 ):
     """Forward that ALSO emits each HIDDEN layer's input (h1..h_{depth-1};
     h0 is the kernel input and is never duplicated).
@@ -429,7 +452,7 @@ def fused_dense_mpnn_block_stash(
             edge_hiddens, src, dst, edge_mask, weights, biases,
             depth=depth, n_nodes=n_nodes, residual=residual,
             mols_per_tile=mols_per_tile, interpret=interpret,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, reduce=reduce,
         )
         return out, None
     emask = edge_mask.astype(jnp.float32)
@@ -438,6 +461,7 @@ def fused_dense_mpnn_block_stash(
     kernel = functools.partial(
         _block_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
         residual=residual, mm_dtype=matmul_dtype, blocked_idx=blocked,
+        mean=reduce == "mean",
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
@@ -463,7 +487,8 @@ def fused_dense_mpnn_block_stash(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret",
+        "matmul_dtype", "reduce",
     ),
 )
 def fused_dense_mpnn_block_bwd_stash(
@@ -472,6 +497,7 @@ def fused_dense_mpnn_block_bwd_stash(
     src, dst, edge_mask, weights, cotangent,
     *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    reduce: str = "sum",
 ):
     """Pallas backward consuming stashed residuals (no forward recompute).
     Returns (g_h0, g_W, g_b)."""
@@ -485,13 +511,14 @@ def fused_dense_mpnn_block_bwd_stash(
             jnp.zeros((1, h0.shape[-1]), h0.dtype), cotangent,
             depth=depth, n_nodes=n_nodes, residual=residual,
             mols_per_tile=mols_per_tile, interpret=interpret,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, reduce=reduce,
         )
     emask = edge_mask.astype(jnp.float32)
     idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _bwd_kernel_stash, depth=depth, n_nodes=n_nodes, tile=NB,
         residual=residual, mm_dtype=matmul_dtype, blocked_idx=blocked,
+        mean=reduce == "mean",
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
@@ -517,12 +544,12 @@ def fused_dense_mpnn_block_bwd_stash(
     )(*idx_ops, h0, hs, weights, cotangent)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def fused_dense_mpnn_block_trainable_stash(
     edge_hiddens, src, dst, edge_mask, weights, biases,
     depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
-    stash_dtype: str | None = None,
+    stash_dtype: str | None = None, reduce: str = "sum",
 ):
     """Trainable fused block with the residual-stash backward: the forward
     writes hidden-layer inputs to HBM (h0 is never duplicated — the backward
@@ -533,30 +560,30 @@ def fused_dense_mpnn_block_trainable_stash(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
 
 
 def _stash_fwd(edge_hiddens, src, dst, edge_mask, weights, biases,
                depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
-               stash_dtype):
+               stash_dtype, reduce):
     out, hs = fused_dense_mpnn_block_stash(
         edge_hiddens, src, dst, edge_mask, weights, biases,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype, stash_dtype=stash_dtype,
+        matmul_dtype=matmul_dtype, stash_dtype=stash_dtype, reduce=reduce,
     )
     return out, (edge_hiddens, hs, src, dst, edge_mask, weights)
 
 
 def _stash_bwd(depth, n_nodes, residual, mols_per_tile, interpret, matmul_dtype,
-               stash_dtype, res, g):
+               stash_dtype, reduce, res, g):
     h0, hs, src, dst, edge_mask, weights = res
     g_h0, g_W, g_b = fused_dense_mpnn_block_bwd_stash(
         h0, hs, src, dst, edge_mask, weights, g,
         depth=depth, n_nodes=n_nodes, residual=residual,
         mols_per_tile=mols_per_tile, interpret=interpret,
-        matmul_dtype=matmul_dtype,
+        matmul_dtype=matmul_dtype, reduce=reduce,
     )
     return g_h0, None, None, None, g_W, g_b
 
@@ -585,6 +612,7 @@ def _bwd_kernel(
     residual: bool,
     mm_dtype,
     blocked_idx: bool = False,
+    mean: bool = False,
 ):
     i = pl.program_id(0)
     h = h0_ref[:]
@@ -592,7 +620,7 @@ def _bwd_kernel(
     src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
     mm = h.dtype if mm_dtype is None else jnp.dtype(mm_dtype)
 
-    A = _edge_adjacency(src, dst, emask, mm)
+    A = _edge_adjacency(src, dst, emask, mm, mean)
 
     @pl.when(i == 0)
     def _init():
@@ -652,7 +680,8 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret",
+        "matmul_dtype", "reduce",
     ),
 )
 def fused_dense_mpnn_block_bwd(
@@ -670,6 +699,7 @@ def fused_dense_mpnn_block_bwd(
     mols_per_tile: int = 8,
     interpret: bool = False,
     matmul_dtype: str | None = None,
+    reduce: str = "sum",
 ):
     """Pallas backward for the fused block: per-tile forward recompute +
     reverse sweep entirely in VMEM; weight grads accumulate across the
@@ -683,7 +713,7 @@ def fused_dense_mpnn_block_bwd(
     idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _bwd_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual,
-        mm_dtype=matmul_dtype, blocked_idx=blocked,
+        mm_dtype=matmul_dtype, blocked_idx=blocked, mean=reduce == "mean",
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
@@ -712,7 +742,8 @@ def fused_dense_mpnn_block_bwd(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "depth", "n_nodes", "residual", "mols_per_tile", "interpret", "matmul_dtype"
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret",
+        "matmul_dtype", "reduce",
     ),
 )
 def fused_dense_mpnn_block(
@@ -729,11 +760,14 @@ def fused_dense_mpnn_block(
     mols_per_tile: int = 8,
     interpret: bool = False,
     matmul_dtype: str | None = None,
+    reduce: str = "sum",
 ) -> jnp.ndarray:
     """Run the whole D-MPNN block; returns final edge hiddens [B, E_m, d].
 
     ``matmul_dtype``: cast MXU operands to this dtype (e.g. ``"bfloat16"``);
     accumulation and the VMEM-resident state stay in the input dtype.
+    ``reduce``: "sum" or "mean" — mean folds into the edge operator (see
+    :func:`_edge_adjacency`) at zero extra matmuls.
     """
     B, E, d = edge_hiddens.shape
     NB = min(mols_per_tile, B)
@@ -744,7 +778,7 @@ def fused_dense_mpnn_block(
     idx_specs, idx_ops, blocked = _idx_operands(src, dst, emask, B, E, NB)
     kernel = functools.partial(
         _block_kernel, depth=depth, n_nodes=n_nodes, tile=NB, residual=residual,
-        mm_dtype=matmul_dtype, blocked_idx=blocked,
+        mm_dtype=matmul_dtype, blocked_idx=blocked, mean=reduce == "mean",
     )
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return pl.pallas_call(
@@ -782,7 +816,7 @@ fused_dense_mpnn_block_trainable_fast.defvjp(_fast_fwd, _fast_bwd)
 def _encoder_body(
     src_ref, dst_ref, emask_ref, nf_ref, ef_ref, w_ref, b_ref,
     nh_ref, eh_ref, hs_ref,
-    *, depth: int, tile: int, residual: bool, mm_dtype,
+    *, depth: int, tile: int, residual: bool, mm_dtype, mean: bool = False,
 ):
     i = pl.program_id(0)
     nf = nf_ref[:]
@@ -807,7 +841,7 @@ def _encoder_body(
         + ef_ref[:]
     )
 
-    A = _edge_adjacency(src, dst, emask, mm)
+    A = _edge_adjacency(src, dst, emask, mm, mean)
 
     for layer_idx in range(depth):
         if hs_ref is not None and layer_idx > 0:
@@ -837,7 +871,10 @@ def _encoder_body(
     St = (
         jnp.where(dst[:, :, None] == v_iota, 1.0, 0.0)
         * emask.astype(jnp.float32)[:, :, None]
-    ).astype(mm)
+    )
+    if mean:  # final E->V reduce divides by real in-degree (floor 1)
+        St = St / jnp.maximum(jnp.sum(St, axis=1, keepdims=True), 1.0)
+    St = St.astype(mm)
     nh_ref[:] = jax.lax.dot_general(
         St, h.astype(mm), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -856,7 +893,7 @@ def _encoder_bwd_kernel(
     src_ref, dst_ref, emask_ref, nf_ref, ef_ref, hs_ref, w_ref,
     gn_ref, ge_ref,
     gnf_ref, gef_ref, gw_ref, gb_ref,
-    *, depth: int, tile: int, residual: bool, mm_dtype,
+    *, depth: int, tile: int, residual: bool, mm_dtype, mean: bool = False,
 ):
     i = pl.program_id(0)
     nf = nf_ref[:]
@@ -876,8 +913,11 @@ def _encoder_bwd_kernel(
     St = (
         jnp.where(dst[:, :, None] == v_iota, 1.0, 0.0)
         * emask.astype(jnp.float32)[:, :, None]
-    ).astype(mm)
-    A = _edge_adjacency(src, dst, emask, mm)
+    )
+    if mean:  # the final scatter's VJP uses the SAME scaled operator
+        St = St / jnp.maximum(jnp.sum(St, axis=1, keepdims=True), 1.0)
+    St = St.astype(mm)
+    A = _edge_adjacency(src, dst, emask, mm, mean)
 
     @pl.when(i == 0)
     def _init():
@@ -933,12 +973,12 @@ def _encoder_bwd_kernel(
 def _encoder_bwd_kernel_d1(
     src_ref, dst_ref, emask_ref, nf_ref, ef_ref, w_ref,
     gn_ref, ge_ref, gnf_ref, gef_ref, gw_ref, gb_ref,
-    *, depth: int, tile: int, residual: bool, mm_dtype,
+    *, depth: int, tile: int, residual: bool, mm_dtype, mean: bool = False,
 ):
     _encoder_bwd_kernel(
         src_ref, dst_ref, emask_ref, nf_ref, ef_ref, None, w_ref,
         gn_ref, ge_ref, gnf_ref, gef_ref, gw_ref, gb_ref,
-        depth=depth, tile=tile, residual=residual, mm_dtype=mm_dtype,
+        depth=depth, tile=tile, residual=residual, mm_dtype=mm_dtype, mean=mean,
     )
 
 
@@ -953,14 +993,14 @@ def _encoder_tile(mols_per_tile: int, B: int) -> int:
     jax.jit,
     static_argnames=(
         "depth", "residual", "mols_per_tile", "interpret", "matmul_dtype",
-        "stash_dtype", "stash",
+        "stash_dtype", "stash", "reduce",
     ),
 )
 def fused_dense_encoder_fwd(
     node_feats, edge_feats, src, dst, edge_mask, weights, biases,
     *, depth: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
-    stash_dtype: str | None = None, stash: bool = False,
+    stash_dtype: str | None = None, stash: bool = False, reduce: str = "sum",
 ):
     """One-kernel encoder: gather + depth-D block + masked scatter.
     Returns (node_hiddens [B, V, d], edge_hiddens [B, E, d], hs) where hs is
@@ -974,6 +1014,7 @@ def fused_dense_encoder_fwd(
     kernel = functools.partial(
         _encoder_kernel_stash if want_stash else _encoder_kernel,
         depth=depth, tile=NB, residual=residual, mm_dtype=matmul_dtype,
+        mean=reduce == "mean",
     )
     out_specs = [
         pl.BlockSpec((NB, V, d), lambda i: (i, 0, 0)),
@@ -1010,13 +1051,16 @@ def fused_dense_encoder_fwd(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "residual", "mols_per_tile", "interpret", "matmul_dtype"),
+    static_argnames=(
+        "depth", "residual", "mols_per_tile", "interpret", "matmul_dtype", "reduce",
+    ),
 )
 def fused_dense_encoder_bwd(
     node_feats, edge_feats, hs, src, dst, edge_mask, weights,
     g_node, g_edge,
     *, depth: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
+    reduce: str = "sum",
 ):
     """Pallas backward of the whole-encoder kernel.
     Returns (g_node_feats, g_edge_feats, g_W, g_b)."""
@@ -1046,7 +1090,8 @@ def fused_dense_encoder_bwd(
     ]
     operands += [weights, g_node, g_edge]
     kernel = functools.partial(
-        kernel_fn, depth=depth, tile=NB, residual=residual, mm_dtype=matmul_dtype,
+        kernel_fn, depth=depth, tile=NB, residual=residual,
+        mm_dtype=matmul_dtype, mean=reduce == "mean",
     )
     return pl.pallas_call(
         kernel,
@@ -1068,12 +1113,12 @@ def fused_dense_encoder_bwd(
     )(*operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def fused_dense_encoder(
     node_feats, edge_feats, src, dst, edge_mask, weights, biases,
     depth: int, residual: bool = True, mols_per_tile: int = 8,
     interpret: bool = False, matmul_dtype: str | None = None,
-    stash_dtype: str | None = None,
+    stash_dtype: str | None = None, reduce: str = "sum",
 ):
     """Trainable whole-encoder fusion: (node_feats, edge_feats) ->
     (node_hiddens, edge_hiddens) in ONE Pallas kernel each way. The forward
@@ -1083,29 +1128,31 @@ def fused_dense_encoder(
         node_feats, edge_feats, src, dst, edge_mask, weights, biases,
         depth=depth, residual=residual, mols_per_tile=mols_per_tile,
         interpret=interpret, matmul_dtype=matmul_dtype, stash=False,
+        reduce=reduce,
     )
     return nh, eh
 
 
 def _enc_fwd(node_feats, edge_feats, src, dst, edge_mask, weights, biases,
-             depth, residual, mols_per_tile, interpret, matmul_dtype, stash_dtype):
+             depth, residual, mols_per_tile, interpret, matmul_dtype, stash_dtype,
+             reduce):
     nh, eh, hs = fused_dense_encoder_fwd(
         node_feats, edge_feats, src, dst, edge_mask, weights, biases,
         depth=depth, residual=residual, mols_per_tile=mols_per_tile,
         interpret=interpret, matmul_dtype=matmul_dtype,
-        stash_dtype=stash_dtype, stash=True,
+        stash_dtype=stash_dtype, stash=True, reduce=reduce,
     )
     return (nh, eh), (node_feats, edge_feats, hs, src, dst, edge_mask, weights)
 
 
 def _enc_bwd(depth, residual, mols_per_tile, interpret, matmul_dtype, stash_dtype,
-             res, gs):
+             reduce, res, gs):
     node_feats, edge_feats, hs, src, dst, edge_mask, weights = res
     g_node, g_edge = gs
     g_nf, g_ef, g_W, g_b = fused_dense_encoder_bwd(
         node_feats, edge_feats, hs, src, dst, edge_mask, weights, g_node, g_edge,
         depth=depth, residual=residual, mols_per_tile=mols_per_tile,
-        interpret=interpret, matmul_dtype=matmul_dtype,
+        interpret=interpret, matmul_dtype=matmul_dtype, reduce=reduce,
     )
     return g_nf, g_ef, None, None, None, g_W, g_b
 

@@ -171,14 +171,6 @@ def build_dmpnn(
             "the halo message-passing block supports neither dropout nor "
             "remat; build with dropout=0.0, remat=False"
         )
-    if partition == "replicate" and graph_axis is not None and reduce == "mean":
-        raise ValueError(
-            "edge-partitioned (partition='replicate') message passing "
-            "implements reduce='sum' and 'max' (the cross-shard combine is a "
-            "psum/pmax — nn/chemprop.py::_cross_shard_combine); reduce='mean' "
-            "would need a second count psum. Use reduce='sum' or 'max', or "
-            "the molecule partition."
-        )
     mp_psum_axis = graph_axis if partition == "replicate" else None
     readout_psum_axis = graph_axis if partition in ("molecule", "halo") else None
 
@@ -241,25 +233,30 @@ def build_dmpnn(
                     "the fused Pallas block does not support edge dropout; "
                     "use layout='dense' (or layout='auto', which selects it)"
                 )
-            if reduce != "sum":
+            if reduce == "max":
                 raise ValueError(
-                    "the fused Pallas block implements reduce='sum'; use "
-                    "layout='dense'/'dense_packed' (or 'auto') for mean/max"
+                    "the fused Pallas block implements reduce='sum' and "
+                    "'mean' (both fold into its linear edge operator); use "
+                    "layout='dense'/'dense_packed' (or 'auto') for max"
                 )
-            mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
+            mp_mod = FusedDenseChempropBlock(
+                hidden_dim=hidden_dim, depth=depth, reduce=reduce
+            )
         elif layout == "dense_packed":
             # bin-packed bins run through the SAME kernels (node-id offsets
             # keep the in-VMEM one-hot compares molecule-local); per-molecule
-            # readout segment-sums over node_graph. Dropout and mean/max
-            # reduce run the jnp block over the same packed bins (the fused
-            # kernel's collapsed operator is a sum and has no dropout).
-            if (dropout and dropout > 0.0) or reduce != "sum":
+            # readout segment-sums over node_graph. Dropout and max reduce
+            # run the jnp block over the same packed bins (max is the one
+            # non-foldable reduce; mean folds — round-5).
+            if (dropout and dropout > 0.0) or reduce == "max":
                 mp_mod = DenseChempropBlock(
                     hidden_dim=hidden_dim, depth=depth, dropout=dropout,
                     reduce=reduce, dtype=dtype,
                 )
             else:
-                mp_mod = FusedDenseChempropBlock(hidden_dim=hidden_dim, depth=depth)
+                mp_mod = FusedDenseChempropBlock(
+                    hidden_dim=hidden_dim, depth=depth, reduce=reduce
+                )
         else:
             mp_mod = DenseChempropBlock(
                 hidden_dim=hidden_dim, depth=depth, dropout=dropout,

@@ -56,6 +56,9 @@ class DenseGraphSelfAttention(nn.Module):
     impl: str = "jnp"  # "jnp" | "fused" | "auto"
     bins_per_tile: int = 8
     interpret: bool = False  # Pallas interpret mode (CPU tests)
+    # fused-impl forward: "jnp" (XLA einsums — measured faster) or "pallas"
+    # (single kernel, minimal HBM)
+    fwd_impl: str = "jnp"
     dtype: Any = jnp.float32
 
     def _resolve_impl(self) -> str:
@@ -86,7 +89,7 @@ class DenseGraphSelfAttention(nn.Module):
                 )
             out = fused_dense_attention(
                 q, k, v, eb, G.src, G.dst, G.edge_mask,
-                H, self.bins_per_tile, self.interpret,
+                H, self.bins_per_tile, self.interpret, None, self.fwd_impl,
             )
             out = nn.Dense(d, dtype=self.dtype, name="W_o")(out)
             return G.update(node_feats=out)
@@ -141,6 +144,7 @@ class DenseGATBlock(nn.Module):
     impl: str = "jnp"  # attention-core impl: "jnp" | "fused" | "auto"
     bins_per_tile: int = 8
     interpret: bool = False
+    fwd_impl: str = "jnp"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -156,6 +160,7 @@ class DenseGATBlock(nn.Module):
                 impl=self.impl,
                 bins_per_tile=self.bins_per_tile,
                 interpret=self.interpret,
+                fwd_impl=self.fwd_impl,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )

@@ -61,8 +61,9 @@ class ChempropLayer(nn.Module):
         training: bool = False,
     ) -> jnp.ndarray:
         messages = self.act(edge_hiddens)
-        node_messages = _node_reduce(messages, G, self.reduce, self.impl)
-        node_messages = _cross_shard_combine(node_messages, self.reduce, self.psum_axis)
+        node_messages = _reduce_and_combine(
+            messages, G, self.reduce, self.impl, self.psum_axis
+        )
         edge_messages = node_messages[G.src] - messages[G.rev]
         out = nn.Dense(self.hidden_dim, use_bias=self.bias, dtype=self.dtype, name="update")(
             edge_messages
@@ -114,8 +115,9 @@ class ChempropBlock(nn.Module):
             out = layer(edge_hiddens, G, training)
             edge_hiddens = edge_hiddens + out if self.residual else out
 
-        node_hiddens = _node_reduce(edge_hiddens, G, self.reduce, self.impl)
-        node_hiddens = _cross_shard_combine(node_hiddens, self.reduce, self.psum_axis)
+        node_hiddens = _reduce_and_combine(
+            edge_hiddens, G, self.reduce, self.impl, self.psum_axis
+        )
         return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
 
 
@@ -154,4 +156,24 @@ def _cross_shard_combine(node_values, reduce: str, axis: str | None):
         return jax.lax.psum(node_values, axis)
     if reduce == "max":
         return jax.lax.pmax(node_values, axis)
-    raise NotImplementedError(f"edge-partitioned reduce={reduce!r} (use sum or max)")
+    raise NotImplementedError(
+        f"edge-partitioned reduce={reduce!r} (mean goes through "
+        "_reduce_and_combine: psum-sum / psum-count)"
+    )
+
+
+def _reduce_and_combine(values, G: BatchedGraph, reduce: str, impl: str, axis):
+    """E->V reduce + cross-shard combine. Sharded mean cannot combine
+    per-shard means (each shard sees a partial in-edge set), so it psums
+    the local SUMS and the local real-edge COUNTS separately and divides
+    once — exact vs the unsharded mean (floor-1 denominator matches
+    ``segment_mean``). Reference semantics: ``notorch/nn/gnn/chemprop.py:25``
+    (torch_scatter reduce= on a single device)."""
+    if axis is not None and reduce == "mean":
+        sums = jax.lax.psum(_node_reduce(values, G, "sum", impl), axis)
+        ones = jnp.ones((values.shape[0], 1), values.dtype)
+        counts = jax.lax.psum(
+            segment_reduce(ones, G.dst, G.num_nodes, "sum"), axis
+        )
+        return sums / jnp.maximum(counts, 1.0)
+    return _cross_shard_combine(_node_reduce(values, G, reduce, impl), reduce, axis)

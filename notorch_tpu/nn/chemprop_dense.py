@@ -231,9 +231,11 @@ class FusedDenseChempropBlock(nn.Module):
     depth: int = 3
     residual: bool = True
     bias: bool = True
-    # the kernel's collapsed edge-to-edge operator is a sum; mean/max
-    # message passing routes to DenseChempropBlock (models/dmpnn.py does
-    # this automatically for build_dmpnn(reduce=...))
+    # sum AND mean fold into the kernel's collapsed edge-to-edge operator
+    # (mean is linear: rows scaled by 1/in-degree — kernels.dense_mpnn.
+    # _edge_adjacency); max is genuinely non-foldable and routes to
+    # DenseChempropBlock (models/dmpnn.py does this automatically for
+    # build_dmpnn(reduce=...))
     reduce: str = "sum"
     mols_per_tile: int = 8
     # backward pass strategy:
@@ -263,11 +265,12 @@ class FusedDenseChempropBlock(nn.Module):
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
-        if self.reduce != "sum":
+        if self.reduce not in ("sum", "mean"):
             raise NotImplementedError(
-                "the fused Pallas block implements reduce='sum' (its collapsed "
-                "edge-to-edge operator is a sum); use DenseChempropBlock — "
-                "build_dmpnn(reduce=...) routes there automatically"
+                "the fused Pallas block implements reduce='sum' and 'mean' "
+                "(both fold into its collapsed linear edge operator); max is "
+                "non-foldable — use DenseChempropBlock, build_dmpnn(reduce=...) "
+                "routes there automatically"
             )
         from notorch_tpu.kernels.dense_mpnn import (
             fused_dense_encoder,
@@ -304,7 +307,7 @@ class FusedDenseChempropBlock(nn.Module):
             node_hiddens, edge_hiddens = fused_dense_encoder(
                 G.node_feats, G.edge_feats, G.src, G.dst, G.edge_mask, Ws, bs,
                 self.depth, self.residual, max(tile, 1), interpret,
-                self.matmul_dtype, self.stash_dtype,
+                self.matmul_dtype, self.stash_dtype, self.reduce,
             )
             return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
 
@@ -322,9 +325,11 @@ class FusedDenseChempropBlock(nn.Module):
         edge_hiddens = fn(
             h0, G.src, G.dst, G.edge_mask, Ws, bs,
             self.depth, G.nodes_per_graph, self.residual, max(tile, 1), interpret,
-            self.matmul_dtype, *extra,
+            self.matmul_dtype, *extra, self.reduce,
         )
         S = G.scatter_matrix(edge_hiddens.dtype)
+        if self.reduce == "mean":  # final E->V reduce: divide by in-degree
+            S = S / jnp.maximum(S.sum(axis=-1, keepdims=True), 1.0)
         node_hiddens = jnp.einsum("bve,bed->bvd", S, edge_hiddens)
         return G.update(node_feats=node_hiddens, edge_feats=edge_hiddens)
 

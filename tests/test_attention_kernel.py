@@ -78,8 +78,12 @@ def test_fused_attention_grad_parity(packed):
     flat_ref = jax.tree.leaves(g_ref)
     flat_fused = jax.tree.leaves(g_fused)
     for a, b in zip(flat_fused, flat_ref):
+        # atol floor: W_bias/bias and W_k/bias gradients are MATHEMATICALLY
+        # zero (adding a constant to every unmasked score in a softmax row
+        # is an invariance), so both impls produce only cancellation noise
+        # there — verified against an f64 oracle in round 5
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5
         )
 
 
@@ -102,7 +106,6 @@ def test_fused_attention_odd_batch(packed):
 def test_fit_attn_tile():
     from notorch_tpu.kernels.dense_attention import fit_attn_tile
 
-    assert fit_attn_tile(8, 128, 256, 16) == 8  # production shape fits tile 8
-    assert fit_attn_tile(16, 128, 256, 16) == 8  # envelope clamps 16
+    assert fit_attn_tile(8, 128, 256, 16) == 4  # tile 8 fails Mosaic compile
     assert fit_attn_tile(8, 32, 64, 6) in (1, 2)  # must divide the batch
     assert fit_attn_tile(8, 32, 64, 8) == 8

@@ -158,3 +158,27 @@ def test_composed_network_error_messages():
     )
     out3 = net3.apply({}, {"inputs.x": jnp.ones(2)})
     assert out3["m.y"].shape == (2,)
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache points jax at a persistent dir (cross-process
+    compile reuse for serving cold starts) and honors the off switch."""
+    import jax
+    import jax.numpy as jnp
+
+    from notorch_tpu.utils import enable_compilation_cache
+
+    monkeypatch.setenv("NOTORCH_TPU_COMPILATION_CACHE", "off")
+    assert enable_compilation_cache() is None
+
+    used = enable_compilation_cache(str(tmp_path / "xla"))
+    assert used == str(tmp_path / "xla")
+
+    @jax.jit
+    def f(x):
+        return jnp.sin(x) @ jnp.cos(x).T
+
+    f(jnp.ones((64, 64))).block_until_ready()
+    # CPU backends also persist entries once the dir + thresholds are set
+    entries = list((tmp_path / "xla").iterdir())
+    assert entries, "no persistent cache entries written"
