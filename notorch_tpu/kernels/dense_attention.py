@@ -358,7 +358,7 @@ def fused_dense_attention(
     HBM-constrained serving). ``eb`` is the per-edge additive score bias
     laid out [B, H, E], or None."""
     if fwd_impl == "pallas":
-        return fused_dense_attention_fwd(
+        return fused_dense_attention_fwd_v2(
             q, k, v, eb, src, dst, edge_mask,
             num_heads=num_heads, bins_per_tile=bins_per_tile,
             interpret=interpret, matmul_dtype=matmul_dtype,
@@ -377,7 +377,7 @@ def _fda_fwd(q, k, v, eb, src, dst, edge_mask,
 
 def _fda_bwd(num_heads, bins_per_tile, interpret, matmul_dtype, fwd_impl, res, g):
     q, k, v, eb, src, dst, edge_mask = res
-    g_q, g_k, g_v, g_eb = fused_dense_attention_bwd(
+    g_q, g_k, g_v, g_eb = fused_dense_attention_bwd_v2(
         q, k, v, eb, src, dst, edge_mask, g,
         num_heads=num_heads, bins_per_tile=bins_per_tile,
         interpret=interpret, matmul_dtype=matmul_dtype,
@@ -386,3 +386,214 @@ def _fda_bwd(num_heads, bins_per_tile, interpret, matmul_dtype, fwd_impl, res, g
 
 
 fused_dense_attention.defvjp(_fda_fwd, _fda_bwd)
+
+
+# -- v2: head-in-grid layout ---------------------------------------------------
+#
+# v1 sliced per-head [V, dh=64] operands out of [NB, V, d] VMEM values —
+# sub-128-lane minor-dim slices that force Mosaic relayouts; the v1 kernel
+# measured ~55x off its matmul roofline (992us fwd vs ~18us of MXU work,
+# round-5 decomposition). v2 moves the head axis INTO the pallas grid:
+# operands arrive as [1, NB, V, dh] blocks of a [H, B, V, dh] transpose
+# (XLA does the transposes outside), so every in-kernel tensor is whole and
+# lane-aligned, and each grid step handles one (bin-tile, head) pair. The
+# one-hot operators are rebuilt per step (VPU-cheap); all matmuls have
+# K in {dh, V, E} with V/E lane-aligned.
+
+
+def _idx_operands2(src, dst, emask, B, E, tile):
+    """2D-grid version of dense_mpnn._idx_operands (index maps take (i, h))."""
+    if tile % 8 == 0:
+        whole2 = pl.BlockSpec((B, E), lambda i, h: (0, 0))
+        return [whole2, whole2, whole2], [src, dst, emask], False
+    blk = pl.BlockSpec((1, tile, E), lambda i, h: (i, 0, 0))
+    rs = lambda x: x.reshape(B // tile, tile, E)
+    return [blk, blk, blk], [rs(src), rs(dst), rs(emask)], True
+
+
+def _head_scores_v2(qh, kh, St, G, ebh, mask, dh, mm):
+    scores = jax.lax.dot_general(
+        qh.astype(mm), kh.astype(mm), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(dh))
+    if ebh is not None:
+        scores = scores + jax.lax.dot_general(
+            (St.astype(jnp.float32) * ebh[:, :, None]).astype(mm), G,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    neg = jnp.where(mask, scores, -1e30)
+    mx = jnp.max(neg, axis=-1, keepdims=True)
+    ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
+    return ex / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-12)
+
+
+def _attn_kernel_v2(
+    src_ref, dst_ref, emask_ref,
+    qh_ref, kh_ref, vh_ref,  # [1, NB, V, dh] blocks of [H, B, V, dh]
+    ebh_ref,  # [NB, 1, E] block of [B, H, E]
+    out_ref,  # [1, NB, V, dh]
+    *, tile: int, dh: int, edge_bias: bool, mm_dtype, blocked_idx: bool,
+):
+    i = pl.program_id(0)
+    qh = qh_ref[0]
+    kh = kh_ref[0]
+    vh = vh_ref[0]
+    NB, V, _ = qh.shape
+    dt = qh.dtype
+    mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
+    src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
+    G, St, M = _onehot_ops(src, dst, emask, V, mm)
+    mask = M > 0.0
+    ebh = ebh_ref[0].astype(jnp.float32) if edge_bias else None
+    alpha = _head_scores_v2(qh, kh, St, G, ebh, mask, dh, mm).astype(dt)
+    out_ref[0] = jax.lax.dot_general(
+        alpha.astype(mm), vh.astype(mm), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+
+
+def _attn_bwd_kernel_v2(
+    src_ref, dst_ref, emask_ref,
+    qh_ref, kh_ref, vh_ref, ebh_ref, gh_ref,
+    gq_ref, gk_ref, gv_ref, geb_ref,
+    *, tile: int, dh: int, edge_bias: bool, mm_dtype, blocked_idx: bool,
+):
+    i = pl.program_id(0)
+    qh = qh_ref[0]
+    kh = kh_ref[0]
+    vh = vh_ref[0]
+    gh = gh_ref[0]
+    NB, V, _ = qh.shape
+    dt = qh.dtype
+    mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
+    src, dst, emask = _read_idx(src_ref, dst_ref, emask_ref, i, NB, tile, blocked_idx)
+    G, St, M = _onehot_ops(src, dst, emask, V, mm)
+    mask = M > 0.0
+    ebh = ebh_ref[0].astype(jnp.float32) if edge_bias else None
+
+    alpha = _head_scores_v2(qh, kh, St, G, ebh, mask, dh, mm).astype(dt)
+
+    g_alpha = jax.lax.dot_general(
+        gh.astype(mm), vh.astype(mm), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    gv_ref[0] = jax.lax.dot_general(
+        alpha.astype(mm), gh.astype(mm), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    af = alpha.astype(jnp.float32)
+    tmp = af * g_alpha
+    g_s = (tmp - af * jnp.sum(tmp, axis=-1, keepdims=True)).astype(dt)
+
+    gq_ref[0] = (
+        jax.lax.dot_general(
+            g_s.astype(mm), kh.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / math.sqrt(dh))
+    ).astype(dt)
+    gk_ref[0] = (
+        jax.lax.dot_general(
+            g_s.astype(mm), qh.astype(mm), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / math.sqrt(dh))
+    ).astype(dt)
+    if edge_bias:
+        T = jax.lax.dot_general(
+            St, g_s.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [NB, E, V(j)]
+        geb_ref[0] = jnp.sum(T * G.astype(jnp.float32), axis=-1).astype(
+            geb_ref.dtype
+        )
+    else:
+        geb_ref[0] = jnp.zeros_like(geb_ref[0])
+
+
+def _v2_layout(q, num_heads):
+    B, V, d = q.shape
+    dh = d // num_heads
+    return q.reshape(B, V, num_heads, dh).transpose(2, 0, 1, 3)  # [H, B, V, dh]
+
+
+def _v2_unlayout(qT):
+    H, B, V, dh = qT.shape
+    return qT.transpose(1, 2, 0, 3).reshape(B, V, H * dh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "bins_per_tile", "interpret", "matmul_dtype"),
+)
+def fused_dense_attention_fwd_v2(
+    q, k, v, eb, src, dst, edge_mask,
+    *, num_heads: int, bins_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+):
+    B, V, d, E, NB, _, _, _, edge_bias, eb = _common_call(
+        q, eb, src, dst, edge_mask, num_heads, bins_per_tile
+    )
+    dh = d // num_heads
+    emask = edge_mask.astype(jnp.float32)
+    idx_specs, idx_ops, blocked = _idx_operands2(src, dst, emask, B, E, NB)
+    kernel = functools.partial(
+        _attn_kernel_v2, tile=NB, dh=dh, edge_bias=edge_bias,
+        mm_dtype=matmul_dtype, blocked_idx=blocked,
+    )
+    head_blk = pl.BlockSpec((1, NB, V, dh), lambda i, h: (h, i, 0, 0))
+    eb_blk = pl.BlockSpec((1, NB, E), lambda i, h: (h * (B // NB) + i, 0, 0))
+    ebG = jnp.swapaxes(eb, 0, 1).reshape(num_heads * (B // NB), NB, E)
+    qT, kT, vT = _v2_layout(q, num_heads), _v2_layout(k, num_heads), _v2_layout(v, num_heads)
+    outT = pl.pallas_call(
+        kernel,
+        grid=(B // NB, num_heads),
+        in_specs=idx_specs + [head_blk, head_blk, head_blk, eb_blk],
+        out_specs=head_blk,
+        out_shape=jax.ShapeDtypeStruct((num_heads, B, V, dh), q.dtype),
+        interpret=interpret,
+    )(*idx_ops, qT, kT, vT, ebG)
+    return _v2_unlayout(outT)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "bins_per_tile", "interpret", "matmul_dtype"),
+)
+def fused_dense_attention_bwd_v2(
+    q, k, v, eb, src, dst, edge_mask, cotangent,
+    *, num_heads: int, bins_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+):
+    """Head-in-grid recompute backward: returns (g_q, g_k, g_v, g_eb)."""
+    B, V, d, E, NB, _, _, _, edge_bias, eb = _common_call(
+        q, eb, src, dst, edge_mask, num_heads, bins_per_tile
+    )
+    dh = d // num_heads
+    emask = edge_mask.astype(jnp.float32)
+    idx_specs, idx_ops, blocked = _idx_operands2(src, dst, emask, B, E, NB)
+    kernel = functools.partial(
+        _attn_bwd_kernel_v2, tile=NB, dh=dh, edge_bias=edge_bias,
+        mm_dtype=matmul_dtype, blocked_idx=blocked,
+    )
+    head_blk = pl.BlockSpec((1, NB, V, dh), lambda i, h: (h, i, 0, 0))
+    eb_blk = pl.BlockSpec((1, NB, E), lambda i, h: (h * (B // NB) + i, 0, 0))
+    ebG = jnp.swapaxes(eb, 0, 1).reshape(num_heads * (B // NB), NB, E)
+    qT, kT, vT = _v2_layout(q, num_heads), _v2_layout(k, num_heads), _v2_layout(v, num_heads)
+    gT = _v2_layout(cotangent, num_heads)
+    gqT, gkT, gvT, gebG = pl.pallas_call(
+        kernel,
+        grid=(B // NB, num_heads),
+        in_specs=idx_specs + [head_blk, head_blk, head_blk, eb_blk, head_blk],
+        out_specs=[head_blk, head_blk, head_blk, eb_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_heads, B, V, dh), q.dtype),
+            jax.ShapeDtypeStruct((num_heads, B, V, dh), q.dtype),
+            jax.ShapeDtypeStruct((num_heads, B, V, dh), q.dtype),
+            jax.ShapeDtypeStruct((num_heads * (B // NB), NB, E), q.dtype),
+        ],
+        interpret=interpret,
+    )(*idx_ops, qT, kT, vT, ebG, gT)
+    geb = jnp.swapaxes(
+        gebG.reshape(num_heads, B, E), 0, 1
+    )  # back to [B, H, E]
+    return _v2_unlayout(gqT), _v2_unlayout(gkT), _v2_unlayout(gvT), geb

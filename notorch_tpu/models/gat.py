@@ -25,14 +25,16 @@ from notorch_tpu.tasks import metrics as M
 
 
 def resolve_gat_layout(layout: str = "auto", *, attention: str = "gatv2") -> str:
-    """``auto`` -> dense_packed for the dot-product (sdp) stack — the
-    attention layer becomes batched MXU matmuls over packed bins (measured 161.2M fwd /
-    28.0M train edge-updates/s on v5e with lane-aligned 128x256 bins vs
-    10.2M / 2.6M for the flat segment form — 15.8x / 10.8x) — and flat for GATv2, whose
-    LeakyReLU score is not factorizable into q.k^T."""
+    """``auto`` -> dense_packed for BOTH stacks. The sdp (transformer)
+    layer becomes batched MXU matmuls over packed bins (measured 161.2M
+    fwd / 30.4M train edge-updates/s on v5e with lane-aligned 128x256 bins
+    vs 10.2M / 2.6M flat). GATv2 goes dense too (round 5): its LeakyReLU
+    score is not q.k^T-factorizable, but it only needs values at EDGE
+    positions — computed in edge space and scattered with one contraction
+    (``nn/attention_dense.DenseGATv2Layer``; flat-oracle parity-tested)."""
     if layout != "auto":
         return layout
-    return "dense_packed" if attention == "sdp" else "flat"
+    return "dense_packed"
 
 
 def gat_loader_kwargs(layout: str) -> dict:
@@ -80,12 +82,6 @@ def build_gat(
             f"unknown aggregation {aggregation!r}; options: {sorted(AGGREGATIONS)}"
         )
     layout = resolve_gat_layout(layout, attention=attention)
-    if layout in ("dense", "dense_packed") and attention != "sdp":
-        raise ValueError(
-            "the dense attention layout implements the dot-product (sdp) "
-            "stack only; GATv2's LeakyReLU score is not factorizable — use "
-            "layout='flat' (or attention='sdp')"
-        )
 
     embed_kwargs = {}
     if num_node_types is not None:
@@ -128,6 +124,7 @@ def build_gat(
             hidden_dim=hidden_dim,
             depth=depth,
             num_heads=num_heads,
+            attention=attention,
             dropout=dropout,
             dtype=dtype,
         )

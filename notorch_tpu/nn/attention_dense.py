@@ -49,10 +49,13 @@ class DenseGraphSelfAttention(nn.Module):
     num_heads: int = 4
     # additive per-edge score bias (the GraphSelfAttention semantics);
     # ``bias_impl`` picks the scatter formulation — "two_step" materializes
-    # S*bias [B,V,E,H] then one batched matmul with G (well-shaped VJP),
-    # "einsum3" leaves the 3-operand contraction to XLA
+    # S*bias [B,V,E,H] then one batched matmul with G (fastest FORWARD:
+    # 561us vs 799us per layer-iter on v5e), "einsum3" leaves the
+    # 3-operand contraction to XLA (fastest TRAIN: 2961us vs 3225us —
+    # round-5 decomposition), "auto" picks per the ``training`` flag
+    # (bias_impl changes no parameters, so the dispatch is free)
     edge_bias: bool = True
-    bias_impl: str = "two_step"
+    bias_impl: str = "auto"
     impl: str = "jnp"  # "jnp" | "fused" | "auto"
     bins_per_tile: int = 8
     interpret: bool = False  # Pallas interpret mode (CPU tests)
@@ -108,7 +111,10 @@ class DenseGraphSelfAttention(nn.Module):
         scores = jnp.einsum("bihd,bjhd->bhij", q, k) / jnp.sqrt(float(dh))
         if self.edge_bias and G.edge_feats.ndim == 3:
             eb = nn.Dense(H, dtype=self.dtype, name="W_bias")(G.edge_feats)  # [B,E,H]
-            if self.bias_impl == "two_step":
+            bias_impl = self.bias_impl
+            if bias_impl == "auto":
+                bias_impl = "einsum3" if training else "two_step"
+            if bias_impl == "two_step":
                 SB = S[:, :, :, None] * eb[:, None, :, :]  # [B, V, E, H]
                 scores = scores + jnp.einsum("bieh,bej->bhij", SB, Gm)
             else:
@@ -136,11 +142,14 @@ class DenseGATBlock(nn.Module):
     hidden_dim: int = DEFAULT_HIDDEN_DIM
     depth: int = 3
     num_heads: int = 4
+    # "sdp" (edge-biased dot-product transformer) or "gatv2" (edge-space
+    # LeakyReLU scores — DenseGATv2Layer)
+    attention: str = "sdp"
     dropout: float = 0.0
     ffn_mult: int = 2
     residual: bool = True
     edge_bias: bool = True
-    bias_impl: str = "two_step"
+    bias_impl: str = "auto"  # two_step (fwd-fast) / einsum3 (train-fast)
     impl: str = "jnp"  # attention-core impl: "jnp" | "fused" | "auto"
     bins_per_tile: int = 8
     interpret: bool = False
@@ -149,10 +158,17 @@ class DenseGATBlock(nn.Module):
 
     @nn.compact
     def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
+        if self.attention not in ("sdp", "gatv2"):
+            raise ValueError(f"unknown attention {self.attention!r}")
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(G.node_feats)
         drop = nn.Dropout(self.dropout, deterministic=not training)
         for i in range(self.depth):
-            attn = DenseGraphSelfAttention(
+            attn = DenseGATv2Layer(
+                hidden_dim=self.hidden_dim,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            ) if self.attention == "gatv2" else DenseGraphSelfAttention(
                 hidden_dim=self.hidden_dim,
                 num_heads=self.num_heads,
                 edge_bias=self.edge_bias,
@@ -174,3 +190,62 @@ class DenseGATBlock(nn.Module):
             )
             h = h + drop(ff) if self.residual else drop(ff)
         return G.update(node_feats=h)
+
+
+class DenseGATv2Layer(nn.Module):
+    """GATv2 on the dense layout — the round-4 verdict asked for this probe
+    ("a dense GATv2 is still expressible ... never probed").
+
+    The flat layer's non-factorizable LeakyReLU score is NOT an obstacle:
+    GATv2 attention is restricted to EDGES (segment softmax over in-edges,
+    ``nn/attention.py::GATv2Layer``), so the score only needs values at
+    edge positions — compute it in EDGE space with dense one-hot gathers
+    (``z_e = u[src(e)] + w[dst(e)] + W_e e_e``, LeakyReLU, per-head dot
+    with ``a``), then scatter the per-edge SCALARS into [B, H, V, V] with
+    the same one-contraction bias scatter the graph-transformer uses. No
+    [V, V, d_h] tensor ever materializes; every op is a batched MXU
+    contraction. Parameter tree matches the flat ``GATv2Layer``
+    (``W_src/W_dst/W_e/a``) so weights are layout-interchangeable.
+    Reference spec: ``notorch/nn/gnn/attention.py:8`` (GATv2 semantics;
+    NameError-broken there)."""
+
+    hidden_dim: int = DEFAULT_HIDDEN_DIM
+    num_heads: int = 4
+    negative_slope: float = 0.2
+    use_edge_feats: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, G: DenseBatchedGraph, training: bool = False) -> DenseBatchedGraph:
+        d, H = self.hidden_dim, self.num_heads
+        dh = d // H
+        assert dh * H == d, "hidden_dim must divide num_heads"
+        x = G.node_feats
+        B, V, _ = x.shape
+
+        u = nn.Dense(d, dtype=self.dtype, name="W_src")(x)  # values AND src term
+        w = nn.Dense(d, dtype=self.dtype, name="W_dst")(x)
+
+        Gm = G.gather_matrix(x.dtype)  # [B, E, V] src one-hot
+        v_ids = jnp.arange(V)
+        Dst = (G.dst[:, :, None] == v_ids[None, None, :]).astype(x.dtype)
+        z = jnp.einsum("bev,bvd->bed", Gm, u) + jnp.einsum("bev,bvd->bed", Dst, w)
+        if self.use_edge_feats and G.edge_feats.ndim == 3:
+            z = z + nn.Dense(d, dtype=self.dtype, name="W_e")(G.edge_feats)
+        z = nn.leaky_relu(z.reshape(B, -1, H, dh), self.negative_slope)
+        scores_e = nn.DenseGeneral(1, axis=-1, dtype=self.dtype, name="a")(z)
+        scores_e = scores_e.squeeze(-1)  # [B, E, H]
+
+        S = G.scatter_matrix(x.dtype)  # [B, V, E] masked dst one-hot
+        M = jnp.einsum("bie,bej->bij", S, Gm)
+        scores = jnp.einsum("bie,beh,bej->bhij", S, scores_e, Gm)
+
+        mask = (M > 0)[:, None, :, :]
+        neg = jnp.where(mask, scores, -jnp.inf)
+        mx = jnp.max(neg, axis=-1, keepdims=True)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
+        alpha = ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+
+        out = jnp.einsum("bhij,bjhd->bihd", alpha, u.reshape(B, V, H, dh))
+        return G.update(node_feats=out.reshape(B, V, d))

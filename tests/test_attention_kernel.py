@@ -109,3 +109,19 @@ def test_fit_attn_tile():
     assert fit_attn_tile(8, 128, 256, 16) == 4  # tile 8 fails Mosaic compile
     assert fit_attn_tile(8, 32, 64, 6) in (1, 2)  # must divide the batch
     assert fit_attn_tile(8, 32, 64, 8) == 8
+
+
+def test_fused_attention_pallas_fwd_v2_parity(packed):
+    """fwd_impl='pallas' (head-in-grid v2 forward kernel) matches jnp."""
+    key = jax.random.PRNGKey(4)
+    ref = DenseGraphSelfAttention(hidden_dim=16, num_heads=2)
+    params = ref.init(key, packed)
+    out_ref = ref.apply(params, packed).node_feats
+    fused = DenseGraphSelfAttention(
+        hidden_dim=16, num_heads=2, impl="fused", bins_per_tile=2,
+        interpret=True, fwd_impl="pallas",
+    )
+    out_fused = fused.apply(params, packed).node_feats
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )

@@ -83,9 +83,12 @@ def test_graph_transformer_kind(tmp_path):
     )
     mp = model.network.modules_["mp"]
     assert isinstance(mp, GATBlock) and mp.attention == "sdp"
-    # GATv2 cannot go dense (score not factorizable)
-    with pytest.raises(ValueError, match="factoriz"):
-        build_gat(hidden_dim=16, depth=1, attention="gatv2", layout="dense_packed")
+    # GATv2 goes dense too now (round 5: edge-space scores + scatter)
+    from notorch_tpu.nn.attention_dense import DenseGATBlock as _DGB
+
+    m = build_gat(hidden_dim=16, depth=1, attention="gatv2", layout="dense_packed")
+    mp = m.network.modules_["mp"]
+    assert isinstance(mp, _DGB) and mp.attention == "gatv2"
 
 
 def test_dense_attention_matches_flat():
@@ -177,3 +180,72 @@ def test_gat_lipo_sanity(lipo_rows):
     std = transforms["y"]["targets"]["module"].scale[0]
     rmse = logs["val/rmse"] * std
     assert rmse <= 1.0, f"GAT lipo RMSE {rmse:.3f} > 1.0"
+
+
+def test_dense_gatv2_matches_flat():
+    """DenseGATv2Layer == flat GATv2Layer with the SAME parameters per real
+    node (round-5: the LeakyReLU score computed in EDGE space then
+    scattered — the 'non-factorizable' wall was about q.k^T form, not about
+    the dense layout)."""
+    import jax.numpy as jnp
+
+    from notorch_tpu.data.dense import pack_graphs_dense, pad_graphs_dense, plan_bins
+    from notorch_tpu.data.graph import pad_graphs
+    from notorch_tpu.nn.attention import GATv2Layer
+    from notorch_tpu.nn.attention_dense import DenseGATv2Layer
+    from notorch_tpu.nn.chemprop_dense import DenseGraphEmbedding
+    from notorch_tpu.nn.embed import GraphEmbedding
+    from notorch_tpu.transforms import MolToGraph, Pipeline, SmiToMol
+
+    pipe = Pipeline(SmiToMol(), MolToGraph())
+    graphs = [pipe(s) for s in ["CCO", "c1ccccc1C(=O)O", "CC(C)CC(N)C(=O)O", "O"]]
+    d = 16
+    key = jax.random.PRNGKey(0)
+
+    bg = pad_graphs(graphs, 64, 128, graph_cap=len(graphs))
+    embed = GraphEmbedding(hidden_dim=d)
+    ev = embed.init(key, bg)
+    G1 = embed.apply(ev, bg)
+    flat = GATv2Layer(hidden_dim=d, num_heads=2)
+    av = flat.init(key, G1)
+    out_flat = np.asarray(flat.apply(av, G1).node_feats)
+
+    dembed = DenseGraphEmbedding(42, 13, hidden_dim=d)
+    dense = DenseGATv2Layer(hidden_dim=d, num_heads=2)
+    ng_flat = np.asarray(bg.node_graph)
+    for bgd in (
+        pad_graphs_dense(graphs, 32, 64),
+        pack_graphs_dense(graphs, 32, 64, bin_cap=len(plan_bins(graphs, 32, 64))),
+    ):
+        G2 = dembed.apply(ev, bgd)
+        nd = np.asarray(dense.apply(av, G2).node_feats)  # SAME params
+        if bgd.node_graph is not None:
+            ng_d = np.asarray(bgd.node_graph)
+            for i in range(len(graphs)):
+                np.testing.assert_allclose(
+                    nd[ng_d == i], out_flat[ng_flat == i], rtol=1e-4, atol=1e-5
+                )
+        else:
+            for i, g in enumerate(graphs):
+                np.testing.assert_allclose(
+                    nd[i][: g.num_nodes], out_flat[ng_flat == i], rtol=1e-4, atol=1e-5
+                )
+
+
+def test_dense_gatv2_block_overfits(tiny):
+    """DenseGATBlock(attention='gatv2') memorizes a tiny set (the full
+    dense-GATv2 stack trains end to end)."""
+    import optax
+
+    from notorch_tpu.nn.attention_dense import DenseGATBlock
+    from notorch_tpu.nn.chemprop_dense import DenseGraphEmbedding  # noqa: F401
+
+    model = build_gat(
+        hidden_dim=64, depth=2, attention="gatv2", layout="dense_packed",
+        optimizer=optax.adam(5e-3),
+    )
+    loader = DataLoader(tiny, batch_size=16, layout="dense_packed")
+    state = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    result = fit(model, state, loader, epochs=300)
+    best = min(h["train/mse"] for h in result.history)
+    assert best <= 1e-2, f"failed to overfit: best mse {best}"
