@@ -1158,3 +1158,159 @@ def _enc_bwd(depth, residual, mols_per_tile, interpret, matmul_dtype, stash_dtyp
 
 
 fused_dense_encoder.defvjp(_enc_fwd, _enc_bwd)
+
+
+# -- manually double-buffered forward -----------------------------------------
+#
+# The round-5 phase decomposition (scripts/exp_fwd_phases_r5.py) measured the
+# production forward at full == IO + matmuls SERIAL: the matmul chain runs at
+# MXU peak (203 TFLOP/s) and the A-build hides under it, but the ~53us tile
+# IO does not overlap compute (tile-16 probe: the floor is true HBM traffic,
+# not per-step overhead). This variant owns the h-tile DMAs: the h input and
+# out output live in ANY/HBM memory space, and each grid step processes TWO
+# tiles with STATICALLY-NAMED double buffers (slot-dynamic VMEM indexing is
+# a known Mosaic hazard on this toolchain), so every tile's load/store
+# overlaps the neighboring tile's matmul chain.
+
+try:
+    _SEM_DMA = pltpu.SemaphoreType.DMA if pltpu is not None else None
+except Exception:  # pragma: no cover
+    _SEM_DMA = None
+
+
+def _dbuf_compute(h, src, dst, emask, w_ref, b_ref, depth, residual, mm, mean):
+    A = _edge_adjacency(src, dst, emask, mm, mean)
+    NB, E, d = h.shape
+    for l in range(depth):
+        m = jnp.maximum(h, 0.0)
+        mW = jax.lax.dot_general(
+            m.reshape(NB * E, d).astype(mm), w_ref[l].astype(mm),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype).reshape(NB, E, d)
+        out = b_ref[l][None, None, :] + jax.lax.dot_general(
+            A, mW.astype(mm), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        h = h + out if residual else out
+    return h
+
+
+def _dbuf_kernel(
+    src_ref, dst_ref, emask_ref, w_ref, b_ref,  # VMEM (whole)
+    h_hbm, out_hbm,  # ANY (manual DMA)
+    bufA, bufB, outA, outB,  # VMEM scratch
+    semA, semB, osemA, osemB,  # DMA semaphores
+    *, depth: int, tile: int, n_tiles: int, residual: bool, mm_dtype, mean: bool,
+):
+    j = pl.program_id(0)  # handles tiles 2j (A) and 2j+1 (B)
+    NB = tile
+    dt = bufA.dtype
+    mm = dt if mm_dtype is None else jnp.dtype(mm_dtype)
+
+    def in_copy(t, buf, sem):
+        return pltpu.make_async_copy(h_hbm.at[pl.ds(t * NB, NB)], buf, sem)
+
+    def out_copy(t, buf, sem):
+        return pltpu.make_async_copy(buf, out_hbm.at[pl.ds(t * NB, NB)], sem)
+
+    @pl.when(j == 0)
+    def _prologue():
+        in_copy(0, bufA, semA).start()
+        in_copy(1, bufB, semB).start()
+
+    # ---- tile 2j (slot A) ----
+    tA = 2 * j
+    row0 = tA * NB
+    srcA = src_ref[pl.ds(row0, NB), :]
+    dstA = dst_ref[pl.ds(row0, NB), :]
+    emA = emask_ref[pl.ds(row0, NB), :]
+    in_copy(tA, bufA, semA).wait()
+    hA = _dbuf_compute(bufA[:], srcA, dstA, emA, w_ref, b_ref, depth, residual,
+                       mm, mean)
+    @pl.when(j > 0)
+    def _():
+        # outA still draining tile 2j-2's store
+        out_copy(2 * j - 2, outA, osemA).wait()
+    outA[:] = hA
+    out_copy(tA, outA, osemA).start()
+    @pl.when(tA + 2 < n_tiles)
+    def _():
+        in_copy(tA + 2, bufA, semA).start()  # overlaps tile 2j+1's compute
+
+    # ---- tile 2j+1 (slot B) ----
+    tB = 2 * j + 1
+    row1 = tB * NB
+    srcB = src_ref[pl.ds(row1, NB), :]
+    dstB = dst_ref[pl.ds(row1, NB), :]
+    emB = emask_ref[pl.ds(row1, NB), :]
+    in_copy(tB, bufB, semB).wait()
+    hB = _dbuf_compute(bufB[:], srcB, dstB, emB, w_ref, b_ref, depth, residual,
+                       mm, mean)
+    @pl.when(j > 0)
+    def _():
+        out_copy(2 * j - 1, outB, osemB).wait()
+    outB[:] = hB
+    out_copy(tB, outB, osemB).start()
+    @pl.when(tB + 2 < n_tiles)
+    def _():
+        in_copy(tB + 2, bufB, semB).start()
+
+    @pl.when(j == (n_tiles // 2) - 1)
+    def _epilogue():
+        out_copy(2 * j, outA, osemA).wait()
+        out_copy(2 * j + 1, outB, osemB).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "n_nodes", "residual", "mols_per_tile", "interpret",
+        "matmul_dtype", "reduce",
+    ),
+)
+def fused_dense_mpnn_block_dbuf(
+    edge_hiddens, src, dst, edge_mask, weights, biases,
+    *, depth: int, n_nodes: int, residual: bool = True, mols_per_tile: int = 8,
+    interpret: bool = False, matmul_dtype: str | None = None,
+    reduce: str = "sum",
+):
+    """Forward with manually double-buffered tile IO. Requires the batch to
+    split into an even number of multiple-of-8 tiles; callers fall back to
+    :func:`fused_dense_mpnn_block` otherwise."""
+    B, E, d = edge_hiddens.shape
+    NB = min(mols_per_tile, B)
+    if NB % 8 != 0 or B % (2 * NB) != 0:
+        raise ValueError(
+            f"dbuf kernel needs an even count of multiple-of-8 tiles "
+            f"(B={B}, tile={NB}); use fused_dense_mpnn_block"
+        )
+    n_tiles = B // NB
+    emask = edge_mask.astype(jnp.float32)
+    whole = lambda shape: pl.BlockSpec(shape, lambda j: tuple(0 for _ in shape))
+    kernel = functools.partial(
+        _dbuf_kernel, depth=depth, tile=NB, n_tiles=n_tiles, residual=residual,
+        mm_dtype=matmul_dtype, mean=reduce == "mean",
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // 2,),
+        in_specs=[
+            whole((B, E)), whole((B, E)), whole((B, E)),
+            whole(tuple(weights.shape)), whole(tuple(biases.shape)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, E, d), edge_hiddens.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NB, E, d), edge_hiddens.dtype),
+            pltpu.VMEM((NB, E, d), edge_hiddens.dtype),
+            pltpu.VMEM((NB, E, d), edge_hiddens.dtype),
+            pltpu.VMEM((NB, E, d), edge_hiddens.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(src, dst, emask, weights, biases, edge_hiddens)

@@ -624,3 +624,47 @@ def test_pallas_backwards_are_exact_vjp_of_folded_forward():
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4,
                 err_msg=f"{name} backward is not the exact VJP of the folded forward",
             )
+
+
+def test_dbuf_forward_parity():
+    """The manually double-buffered forward (ANY-memory h/out, static slot
+    DMAs) matches the auto-pipelined kernel exactly, sum and mean."""
+    import numpy as np
+
+    from notorch_tpu.kernels.dense_mpnn import (
+        fused_dense_mpnn_block,
+        fused_dense_mpnn_block_dbuf,
+    )
+
+    rng = np.random.default_rng(0)
+    B, E, d, depth, V = 32, 32, 16, 3, 24
+    h0 = jnp.asarray(rng.normal(size=(B, E, d)).astype(np.float32))
+    src_np = rng.integers(0, V, size=(B, E)).astype(np.int32)
+    dst_np = np.empty_like(src_np)
+    dst_np[:, 0::2] = src_np[:, 1::2]
+    dst_np[:, 1::2] = src_np[:, 0::2]
+    src, dst = jnp.asarray(src_np), jnp.asarray(dst_np)
+    emask = jnp.asarray(rng.random((B, E)) < 0.8)
+    Ws = jnp.asarray(rng.normal(size=(depth, d, d)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(rng.normal(size=(depth, d)).astype(np.float32) * 0.1)
+    for reduce in ("sum", "mean"):
+        ref = fused_dense_mpnn_block(
+            h0, src, dst, emask, Ws, bs, depth=depth, n_nodes=V,
+            mols_per_tile=8, interpret=True, reduce=reduce,
+        )
+        out = fused_dense_mpnn_block_dbuf(
+            h0, src, dst, emask, Ws, bs, depth=depth, n_nodes=V,
+            mols_per_tile=8, interpret=True, reduce=reduce,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    # odd tile counts refuse (callers fall back to the auto kernel)
+    import pytest
+
+    with pytest.raises(ValueError, match="dbuf"):
+        fused_dense_mpnn_block_dbuf(
+            h0[:24], src[:24], dst[:24], emask[:24], Ws, bs,
+            depth=depth, n_nodes=V, mols_per_tile=8, interpret=True,
+        )
