@@ -221,9 +221,14 @@ class GvpConv(nn.Module):
         sv: tuple[jnp.ndarray, jnp.ndarray],
         P: BatchedPointCloud,
         training: bool = False,
+        neighbors: tuple | None = None,
     ):
         s, v = sv  # [N, ds], [N, 3, dv]
-        nbrs, mask, dists = radius_neighbors(
+        # ``neighbors``: precomputed (nbrs, mask, dists) — the round-5
+        # decomposition measured the O(N^2) top_k build at ~90% of GVP
+        # forward time, and coords are layer-invariant, so GvpGNNBlock
+        # hoists ONE build over the whole depth stack
+        nbrs, mask, dists = neighbors if neighbors is not None else radius_neighbors(
             P.coords, P.batch_index, self.radius, self.max_neighbors,
             window=self.neighbor_window,
         )
@@ -278,7 +283,8 @@ class GvpGNNLayer(nn.Module):
     neighbor_window: int | None = None
 
     @nn.compact
-    def __call__(self, sv, P: BatchedPointCloud, training: bool = False):
+    def __call__(self, sv, P: BatchedPointCloud, training: bool = False,
+                 neighbors: tuple | None = None):
         sv = GvpConv(
             self.scalar_dim,
             self.vector_dim,
@@ -288,7 +294,7 @@ class GvpGNNLayer(nn.Module):
             dtype=self.dtype,
             neighbor_window=self.neighbor_window,
             name="conv",
-        )(sv, P, training=training)
+        )(sv, P, training=training, neighbors=neighbors)
         s, v = sv
         upd = (s, v)
         for i in range(self.num_update_gvps):
@@ -317,6 +323,13 @@ class GvpGNNBlock(nn.Module):
         s = nn.Dense(self.scalar_dim, dtype=self.dtype, name="in_proj")(P.node_feats)
         v = jnp.zeros(s.shape[:-1] + (3, self.vector_dim), s.dtype)
         sv = (s, v)
+        # ONE neighbor build for the whole stack (coords are layer-invariant;
+        # the build — an O(N^2) or banded top_k — measured ~90% of forward
+        # time when rebuilt per layer, BASELINE.md round 5)
+        neighbors = radius_neighbors(
+            P.coords, P.batch_index, self.radius, self.max_neighbors,
+            window=self.neighbor_window,
+        )
         for i in range(self.depth):
             sv = GvpGNNLayer(
                 self.scalar_dim,
@@ -327,5 +340,5 @@ class GvpGNNBlock(nn.Module):
                 dtype=self.dtype,
                 neighbor_window=self.neighbor_window,
                 name=f"layer_{i}",
-            )(sv, P, training=training)
+            )(sv, P, training=training, neighbors=neighbors)
         return P.update(node_feats=sv[0])

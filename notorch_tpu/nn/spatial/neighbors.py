@@ -41,12 +41,26 @@ def radius_neighbors(
         W = int(window)
         offs = jnp.arange(-W, W + 1)  # [2W+1]
         cand = jnp.arange(N)[:, None] + offs[None, :]  # [N, 2W+1]
-        in_range = (cand >= 0) & (cand < N)
         cand_safe = jnp.clip(cand, 0, N - 1)
-        cwin = coords[cand_safe]  # [N, 2W+1, 3]
+        # band via STATIC shifted slices of sentinel-padded arrays — the
+        # [N, 2W+1] dynamic gather form lowered to a scatter-class op and
+        # measured SLOWER than the O(N^2) path (round-5 probe); slices are
+        # free relayouts. Out-of-range slots carry batch sentinel -1 (never
+        # equal to a real batch id or the padding id), so no in_range mask
+        # is needed.
+        cpad = jnp.concatenate(
+            [jnp.full((W, 3), 1e9, coords.dtype), coords,
+             jnp.full((W, 3), 1e9, coords.dtype)], axis=0,
+        )
+        bpad = jnp.concatenate(
+            [jnp.full((W,), -1, batch_index.dtype), batch_index,
+             jnp.full((W,), -1, batch_index.dtype)], axis=0,
+        )
+        cwin = jnp.stack([cpad[k : k + N] for k in range(2 * W + 1)], axis=1)
+        bwin = jnp.stack([bpad[k : k + N] for k in range(2 * W + 1)], axis=1)
         d2 = ((coords[:, None, :] - cwin) ** 2).sum(-1)
-        same = batch_index[:, None] == batch_index[cand_safe]
-        ok = same & in_range & (d2 <= radius**2)
+        same = batch_index[:, None] == bwin
+        ok = same & (d2 <= radius**2)
         if not loop:
             ok = ok & (offs != 0)[None, :]
         big = jnp.asarray(jnp.inf, d2.dtype)

@@ -40,9 +40,14 @@ class ContinuousFilterConvolution(nn.Module):
 
     @nn.compact
     def __call__(
-        self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False
+        self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False,
+        neighbors: tuple | None = None,
     ) -> jnp.ndarray:
-        nbrs, mask, dists = radius_neighbors(
+        # ``neighbors``: precomputed (nbrs, mask, dists) — coords are
+        # layer-invariant, so SchnetBlock hoists ONE build over the depth
+        # stack (the per-layer top_k build measured ~90% of GVP forward;
+        # same structure here — BASELINE.md round 5)
+        nbrs, mask, dists = neighbors if neighbors is not None else radius_neighbors(
             P.coords, P.batch_index, self.radius, self.max_neighbors,
             window=self.neighbor_window,
         )
@@ -73,13 +78,14 @@ class InteractionLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False
+        self, node_feats: jnp.ndarray, P: BatchedPointCloud, training: bool = False,
+        neighbors: tuple | None = None,
     ) -> jnp.ndarray:
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(node_feats)
         h = ContinuousFilterConvolution(
             self.hidden_dim, self.radius, self.max_neighbors, self.num_bases, self.act,
             self.dtype, neighbor_window=self.neighbor_window, name="cfconv",
-        )(h, P, training=training)
+        )(h, P, training=training, neighbors=neighbors)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj_0")(h)
         h = self.act(h)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj_1")(h)
@@ -101,11 +107,15 @@ class SchnetBlock(nn.Module):
     @nn.compact
     def __call__(self, P: BatchedPointCloud, training: bool = False) -> BatchedPointCloud:
         node_feats = P.node_feats
+        neighbors = radius_neighbors(
+            P.coords, P.batch_index, self.radius, self.max_neighbors,
+            window=self.neighbor_window,
+        )
         for i in range(self.depth):
             delta = InteractionLayer(
                 self.hidden_dim, self.radius, self.max_neighbors, self.num_bases, self.act,
                 self.dtype, neighbor_window=self.neighbor_window,
                 name=f"interaction_{i}",
-            )(node_feats, P, training=training)
+            )(node_feats, P, training=training, neighbors=neighbors)
             node_feats = node_feats + delta  # residual (reference wraps in Residual)
         return P.update(node_feats=node_feats)
