@@ -177,7 +177,7 @@ def bench_schnet(n_mols=128, hidden=128, depth=3, K=16, radius=5.0, window=25):
     return out
 
 
-def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16):
+def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16, window=25):
     import jax
     import jax.numpy as jnp
 
@@ -190,9 +190,11 @@ def bench_gvp(n_mols=128, scalar_dim=64, vector_dim=8, depth=3, K=16):
             rng.normal(size=(P.num_nodes, scalar_dim)).astype(np.float32)
         )
     )
+    # banded static-slice neighbor search: the O(N^2) top_k build measured
+    # 2569us standalone vs 86.9us banded (round 5); clouds are <= 25 atoms
     block = GvpGNNBlock(
         scalar_dim=scalar_dim, vector_dim=vector_dim, depth=depth,
-        radius=5.0, max_neighbors=K,
+        radius=5.0, max_neighbors=K, neighbor_window=window,
     )
     bv = block.init(jax.random.PRNGKey(0), P)
 
