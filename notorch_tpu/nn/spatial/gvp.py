@@ -201,9 +201,64 @@ def _nbr_take_bwd(res, g):
 _nbr_take.defvjp(_nbr_take_fwd, _nbr_take_bwd)
 
 
+class _DenseParams(nn.Module):
+    """Parameter shell matching an ``nn.Dense`` layer's tree (kernel/bias,
+    same initializers) without running the matmul — lets the fused kernel
+    path own identical, checkpoint-compatible parameters."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features_out,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _GatedGvpParams(nn.Module):
+    """Param tree of one :class:`GatedGVP` (W_h/W_mu/W_m/W_g), shell-only."""
+
+    in_s: int
+    in_v: int
+    hidden_v: int
+    out_s: int
+    out_v: int
+
+    @nn.compact
+    def __call__(self):
+        wh, _ = _DenseParams(self.in_v, self.hidden_v, use_bias=False, name="W_h")()
+        wmu, _ = _DenseParams(self.hidden_v, self.out_v, use_bias=False, name="W_mu")()
+        wm, bm = _DenseParams(self.in_s + self.hidden_v, self.out_s, name="W_m")()
+        wg, bg = _DenseParams(self.out_s, self.out_v, name="W_g")()
+        return {
+            "W_h": {"kernel": wh},
+            "W_mu": {"kernel": wmu},
+            "W_m": {"kernel": wm, "bias": bm},
+            "W_g": {"kernel": wg, "bias": bg},
+        }
+
+
 class GvpConv(nn.Module):
     """GVP message passing over static-K radius neighborhoods
-    (reference gvp/conv.py:16-127)."""
+    (reference gvp/conv.py:16-127).
+
+    ``impl="fused"`` routes the whole per-neighbor message stack (windowed
+    gather + 3 GatedGVP layers + masked mean aggregation) through the
+    Pallas kernel (:mod:`notorch_tpu.kernels.gvp_conv`) — the [N, K, .]
+    message tensors never touch HBM. Requires the banded neighbor
+    structure; ``impl="auto"`` picks fused when ``neighbor_window`` is set,
+    dropout is 0, the stack is the standard 3 message GVPs, f32, and the
+    node count tiles evenly — the jnp path otherwise (it remains the
+    autodiff oracle; parity-tested)."""
 
     scalar_dim: int
     vector_dim: int
@@ -214,6 +269,24 @@ class GvpConv(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     neighbor_window: int | None = None
+    impl: str = "auto"  # "auto" | "fused" | "jnp"
+
+    def _use_fused(self, N: int) -> bool:
+        if self.impl == "jnp":
+            return False
+        ok = (
+            self.neighbor_window is not None
+            and self.dropout == 0.0
+            and self.num_message_gvps == 3
+            and self.dtype == jnp.float32
+            and N % 64 == 0
+        )
+        if self.impl == "fused" and not ok:
+            raise ValueError(
+                "impl='fused' needs neighbor_window set, dropout=0, "
+                "num_message_gvps=3, f32, and a node count divisible by 64"
+            )
+        return ok
 
     @nn.compact
     def __call__(
@@ -228,14 +301,52 @@ class GvpConv(nn.Module):
         # decomposition measured the O(N^2) top_k build at ~90% of GVP
         # forward time, and coords are layer-invariant, so GvpGNNBlock
         # hoists ONE build over the whole depth stack
-        nbrs, mask, dists = neighbors if neighbors is not None else radius_neighbors(
-            P.coords, P.batch_index, self.radius, self.max_neighbors,
-            window=self.neighbor_window,
-        )
+        N = s.shape[0]
+        fused = self._use_fused(N)
+        # the fused kernel's windowed gather needs a multiple-of-8 halo
+        window = self.neighbor_window
+        if fused and window is not None and window % 8 != 0:
+            window = -(-window // 8) * 8
+        if neighbors is not None:
+            nbrs, mask, dists = neighbors
+        else:
+            nbrs, mask, dists = radius_neighbors(
+                P.coords, P.batch_index, self.radius, self.max_neighbors,
+                window=window,
+            )
         # edge features: RBF distances (scalar) + unit displacement (vector)
         rbf = RBFEmbedding(0.0, self.radius, self.num_bases)(dists)  # [N, K, nb]
         disp = P.coords[nbrs] - P.coords[:, None, :]  # [N, K, 3]
         unit = disp / _norm(disp, axis=-1, keepdims=True)  # [N, K, 3]
+
+        if fused:
+            from notorch_tpu.kernels.gvp_conv import (
+                fused_gvp_conv,
+                split_gvp_weights,
+            )
+
+            ds, dv, nb = self.scalar_dim, self.vector_dim, self.num_bases
+            in_v0 = 2 * dv + 1
+            ptree = {
+                "message_0": _GatedGvpParams(
+                    2 * ds + nb, in_v0, max(in_v0, dv), ds, dv, name="message_0"
+                )(),
+                "message_1": _GatedGvpParams(ds, dv, dv, ds, dv, name="message_1")(),
+                "message_2": _GatedGvpParams(ds, dv, dv, ds, dv, name="message_2")(),
+            }
+            wlist = split_gvp_weights(ptree, ds, dv, nb)
+            K = nbrs.shape[-1]
+            rbf2d = rbf.reshape(N * K, nb)
+            ux = unit[..., 0].reshape(N * K, 1)
+            uy = unit[..., 1].reshape(N * K, 1)
+            uz = unit[..., 2].reshape(N * K, 1)
+            interpret = jax.default_backend() != "tpu"
+            agg_s, avx, avy, avz = fused_gvp_conv(
+                s, v[:, 0, :], v[:, 1, :], v[:, 2, :], nbrs, mask,
+                rbf2d, ux, uy, uz, wlist, int(window), 64, interpret,
+            )
+            agg_v = jnp.stack([avx, avy, avz], axis=1)
+            return DualRankLayerNorm(name="ln")((s + agg_s, v + agg_v))
 
         # message inputs: dest scalars + src scalars + rbf | dest/src vectors + unit
         s_j = _nbr_take(s, nbrs)  # [N, K, ds]
@@ -281,6 +392,7 @@ class GvpGNNLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     neighbor_window: int | None = None
+    impl: str = "auto"  # conv message-stack impl (gvp_conv Pallas kernel)
 
     @nn.compact
     def __call__(self, sv, P: BatchedPointCloud, training: bool = False,
@@ -293,6 +405,7 @@ class GvpGNNLayer(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             neighbor_window=self.neighbor_window,
+            impl=self.impl,
             name="conv",
         )(sv, P, training=training, neighbors=neighbors)
         s, v = sv
@@ -317,6 +430,7 @@ class GvpGNNBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     neighbor_window: int | None = None
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, P: BatchedPointCloud, training: bool = False) -> BatchedPointCloud:
@@ -339,6 +453,7 @@ class GvpGNNBlock(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 neighbor_window=self.neighbor_window,
+                impl=self.impl,
                 name=f"layer_{i}",
             )(sv, P, training=training, neighbors=neighbors)
         return P.update(node_feats=sv[0])

@@ -333,3 +333,56 @@ def test_nbr_take_backward_exact():
     g1 = jax.grad(lambda v: (v[nbrs] * cotv).sum())(v)
     g2 = jax.grad(lambda v: (_nbr_take(v, nbrs) * cotv).sum())(v)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gvp_conv_matches_jnp():
+    """GvpConv(impl='fused') — the Pallas message-stack kernel — matches the
+    jnp oracle (same params) in outputs AND gradients, interpret mode."""
+    import numpy as np
+
+    from notorch_tpu.data.point_cloud import PointCloud, pad_point_clouds
+    from notorch_tpu.nn.spatial.gvp import GvpGNNBlock
+
+    rng = np.random.default_rng(0)
+    clouds = []
+    for _ in range(12):
+        n = int(rng.integers(8, 20))
+        coords = rng.uniform(0, 6.0, size=(n, 3)).astype(np.float32)
+        types = rng.integers(0, 9, size=(n, 1)).astype(np.int32)
+        clouds.append(PointCloud(types, coords))
+    P = pad_point_clouds(clouds, 192)  # 192 % 64 == 0
+    P = P.update(
+        node_feats=jnp.asarray(rng.normal(size=(192, 32)).astype(np.float32))
+    )
+
+    mk = lambda impl: GvpGNNBlock(
+        scalar_dim=32, vector_dim=8, depth=2, radius=5.0, max_neighbors=8,
+        neighbor_window=24, impl=impl,
+    )
+    ref = mk("jnp")
+    params = ref.init(jax.random.PRNGKey(0), P)
+    fused = mk("fused")
+    # identical param trees (checkpoint compatibility)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        fused.init(jax.random.PRNGKey(0), P)
+    )
+
+    o_ref = ref.apply(params, P).node_feats
+    o_fus = fused.apply(params, P).node_feats  # SAME params
+    np.testing.assert_allclose(
+        np.asarray(o_fus), np.asarray(o_ref), rtol=2e-4, atol=1e-5
+    )
+
+    def loss(block):
+        def f(p):
+            o = block.apply(p, P).node_feats
+            return jnp.sum(jnp.sin(o))
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(ref))(params)
+    l_fus, g_fus = jax.value_and_grad(loss(fused))(params)
+    np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-5
+        )
