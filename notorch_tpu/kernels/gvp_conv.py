@@ -221,24 +221,32 @@ def _stack_fwd(s_i, s_j, v_i, v_j, rbf, u, w):
     return (s0, v0, r0_), (s1, v1, r1_), (s2, v2, r2_)
 
 
+def _split_v(vloc, dv):
+    """Packed [rows, 3*dv] -> 3 components (the packing keeps the whole
+    array at ONE 128-lane pad instead of three — VMEM budget, see bwd)."""
+    L = vloc.shape[0]
+    return tuple(
+        jax.lax.slice(vloc, (0, c * dv), (L, (c + 1) * dv)) for c in range(3)
+    )
+
+
 def _fwd_kernel(
-    s_ref, vx_ref, vy_ref, vz_ref, nbr_ref, msk_ref,
+    s_ref, v_ref, nbr_ref, msk_ref,
     rbf_ref, ux_ref, uy_ref, uz_ref,
     *rest,
-    T: int, K: int, W: int,
+    T: int, K: int, W: int, dv: int,
 ):
     wrefs = rest[:N_W]
-    outs_ref, outvx_ref, outvy_ref, outvz_ref = rest[N_W:]
+    outs_ref, outv_ref = rest[N_W:]
     i = pl.program_id(0)
     r0 = i * T
     L = T + 2 * W
     ds = s_ref.shape[-1]
-    dv = vx_ref.shape[-1]
     nbr = nbr_ref[pl.ds(r0, T), :]
     msk = msk_ref[pl.ds(r0, T), :]
     w = tuple(r[:] for r in wrefs)
     s_loc = s_ref[pl.ds(r0, L), :]
-    v_loc = (vx_ref[pl.ds(r0, L), :], vy_ref[pl.ds(r0, L), :], vz_ref[pl.ds(r0, L), :])
+    v_loc = _split_v(v_ref[pl.ds(r0, L), :], dv)
     oh, s_i, s_j, v_i, v_j = _tile_inputs(s_loc, v_loc, nbr, r0, T, K, W)
     u = (ux_ref[:], uy_ref[:], uz_ref[:])
     _, _, (s2, v2, _) = _stack_fwd(s_i, s_j, v_i, v_j, rbf_ref[:], u, w)
@@ -246,27 +254,27 @@ def _fwd_kernel(
     m3 = msk[:, :, None]
     denom = jnp.maximum(jnp.sum(msk, axis=1, keepdims=True), 1.0)
     outs_ref[:] = jnp.sum(s2.reshape(T, K, ds) * m3, axis=1) / denom
-    for ref, c in zip((outvx_ref, outvy_ref, outvz_ref), v2):
-        ref[:] = jnp.sum(c.reshape(T, K, dv) * m3, axis=1) / denom
+    outv_ref[:] = jnp.concatenate(
+        [jnp.sum(c.reshape(T, K, dv) * m3, axis=1) / denom for c in v2], axis=-1
+    )
 
 
 def _bwd_kernel(
-    s_ref, vx_ref, vy_ref, vz_ref, nbr_ref, msk_ref,
+    s_ref, v_ref, nbr_ref, msk_ref,
     rbf_ref, ux_ref, uy_ref, uz_ref,
     *rest,
-    T: int, K: int, W: int, n_tiles: int,
+    T: int, K: int, W: int, n_tiles: int, dv: int,
 ):
     wrefs = rest[:N_W]
-    gs_out_ref, gvx_out_ref, gvy_out_ref, gvz_out_ref = rest[N_W : N_W + 4]
-    (gs_ref, gvx_ref, gvy_ref, gvz_ref, grbf_ref, gux_ref, guy_ref, guz_ref) = rest[
-        N_W + 4 : N_W + 12
+    gs_out_ref, gv_out_ref = rest[N_W : N_W + 2]
+    (gs_ref, gv_ref, grbf_ref, gux_ref, guy_ref, guz_ref) = rest[
+        N_W + 2 : N_W + 8
     ]
-    gw_refs = rest[N_W + 12 :]
+    gw_refs = rest[N_W + 8 :]
     i = pl.program_id(0)
     r0 = i * T
     L = T + 2 * W
     ds = s_ref.shape[-1]
-    dv = vx_ref.shape[-1]
     nbr = nbr_ref[pl.ds(r0, T), :]
     msk = msk_ref[pl.ds(r0, T), :]
     w = tuple(r[:] for r in wrefs)
@@ -274,15 +282,13 @@ def _bwd_kernel(
     @pl.when(i == 0)
     def _init():
         gs_ref[:] = jnp.zeros_like(gs_ref)
-        gvx_ref[:] = jnp.zeros_like(gvx_ref)
-        gvy_ref[:] = jnp.zeros_like(gvy_ref)
-        gvz_ref[:] = jnp.zeros_like(gvz_ref)
+        gv_ref[:] = jnp.zeros_like(gv_ref)
         for r in gw_refs:
             r[:] = jnp.zeros_like(r)
 
     # ---- recompute the tile forward --------------------------------------
     s_loc = s_ref[pl.ds(r0, L), :]
-    v_loc = (vx_ref[pl.ds(r0, L), :], vy_ref[pl.ds(r0, L), :], vz_ref[pl.ds(r0, L), :])
+    v_loc = _split_v(v_ref[pl.ds(r0, L), :], dv)
     oh, s_i, s_j, v_i, v_j = _tile_inputs(s_loc, v_loc, nbr, r0, T, K, W)
     rbf = rbf_ref[:]
     u = (ux_ref[:], uy_ref[:], uz_ref[:])
@@ -293,17 +299,14 @@ def _bwd_kernel(
     # ---- aggregation reverse ---------------------------------------------
     m3 = msk[:, :, None]
     denom = jnp.maximum(jnp.sum(msk, axis=1, keepdims=True), 1.0)
+    # multiply in [T, K, .] space, THEN merge leading dims — a [T*K, 1]
+    # reshape of the mask is an unsupported Mosaic shape cast
     gsc = (gs_out_ref[:] / denom)[:, None, :]
-    g_s2 = jnp.broadcast_to(gsc, (T, K, ds)).reshape(T * K, ds) * (
-        m3.reshape(T * K, 1)
-    )
+    g_s2 = (jnp.broadcast_to(gsc, (T, K, ds)) * m3).reshape(T * K, ds)
     g_v2 = []
-    for ref in (gvx_out_ref, gvy_out_ref, gvz_out_ref):
-        gvc = (ref[:] / denom)[:, None, :]
-        g_v2.append(
-            jnp.broadcast_to(gvc, (T, K, dv)).reshape(T * K, dv)
-            * m3.reshape(T * K, 1)
-        )
+    for gc in _split_v(gv_out_ref[:], dv):
+        gvc = (gc / denom)[:, None, :]
+        g_v2.append((jnp.broadcast_to(gvc, (T, K, dv)) * m3).reshape(T * K, dv))
     g_v2 = tuple(g_v2)
 
     (Whi, Whj, whu, Wmu0, Wsi, Wsj, Wrbf, Wnrm0, bm0, Wg0, bg0) = w[:N_W0]
@@ -356,10 +359,15 @@ def _bwd_kernel(
         [zs, jnp.sum(g_s_i.reshape(T, K, ds), axis=1), zs], axis=0
     )
     zv = jnp.zeros((W, dv), g_s_j.dtype)
-    for ref, gvj, gvi in zip((gvx_ref, gvy_ref, gvz_ref), g_v_j, g_v_i):
-        ref[pl.ds(r0, L), :] += _dotT(oh, gvj) + jnp.concatenate(
-            [zv, jnp.sum(gvi.reshape(T, K, dv), axis=1), zv], axis=0
-        )
+    gv_ref[pl.ds(r0, L), :] += jnp.concatenate(
+        [
+            _dotT(oh, gvj) + jnp.concatenate(
+                [zv, jnp.sum(gvi.reshape(T, K, dv), axis=1), zv], axis=0
+            )
+            for gvj, gvi in zip(g_v_j, g_v_i)
+        ],
+        axis=-1,
+    )
 
     # ---- weight grads (accumulated) ---------------------------------------
     gw_vals = [
@@ -372,11 +380,11 @@ def _bwd_kernel(
         ref[:] += val.astype(ref.dtype)
 
 
-def _specs(sp, vxp, nbrs, mskf, rbf2d, wlist, T, K):
+def _specs(sp, vp, nbrs, mskf, rbf2d, wlist, T, K):
     whole = lambda arr: pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape))
     tk_blk = lambda w_: pl.BlockSpec((T * K, w_), lambda i: (i, 0))
     in_specs = (
-        [whole(sp), whole(vxp), whole(vxp), whole(vxp), whole(nbrs), whole(mskf),
+        [whole(sp), whole(vp), whole(nbrs), whole(mskf),
          tk_blk(rbf2d.shape[-1]), tk_blk(1), tk_blk(1), tk_blk(1)]
         + [whole(w_) for w_ in wlist]
     )
@@ -414,24 +422,23 @@ def fused_gvp_conv_fwd(
     ds = s.shape[-1]
     dv = vx.shape[-1]
     sp = _padrow(s, W)
-    vxp, vyp, vzp = _padrow(vx, W), _padrow(vy, W), _padrow(vz, W)
+    vp = _padrow(jnp.concatenate([vx, vy, vz], axis=-1), W)
     mskf = mask.astype(jnp.float32)
-    in_specs, whole, tk_blk = _specs(sp, vxp, nbrs, mskf, rbf2d, wlist, T, K)
+    in_specs, whole, tk_blk = _specs(sp, vp, nbrs, mskf, rbf2d, wlist, T, K)
     t_blk = lambda w_: pl.BlockSpec((T, w_), lambda i: (i, 0))
-    kernel = functools.partial(_fwd_kernel, T=T, K=K, W=W)
-    return pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, T=T, K=K, W=W, dv=dv)
+    out_s, out_v = pl.pallas_call(
         kernel,
         grid=(N // T,),
         in_specs=in_specs,
-        out_specs=[t_blk(ds), t_blk(dv), t_blk(dv), t_blk(dv)],
+        out_specs=[t_blk(ds), t_blk(3 * dv)],
         out_shape=[
             jax.ShapeDtypeStruct((N, ds), s.dtype),
-            jax.ShapeDtypeStruct((N, dv), s.dtype),
-            jax.ShapeDtypeStruct((N, dv), s.dtype),
-            jax.ShapeDtypeStruct((N, dv), s.dtype),
+            jax.ShapeDtypeStruct((N, 3 * dv), s.dtype),
         ],
         interpret=interpret,
-    )(sp, vxp, vyp, vzp, nbrs, mskf, rbf2d, ux, uy, uz, *wlist)
+    )(sp, vp, nbrs, mskf, rbf2d, ux, uy, uz, *wlist)
+    return out_s, out_v[:, :dv], out_v[:, dv : 2 * dv], out_v[:, 2 * dv :]
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tile", "interpret"))
@@ -447,24 +454,24 @@ def fused_gvp_conv_bwd(
     dv = vx.shape[-1]
     nb = rbf2d.shape[-1]
     sp = _padrow(s, W)
-    vxp, vyp, vzp = _padrow(vx, W), _padrow(vy, W), _padrow(vz, W)
+    vp = _padrow(jnp.concatenate([vx, vy, vz], axis=-1), W)
     mskf = mask.astype(jnp.float32)
-    in_specs, whole, tk_blk = _specs(sp, vxp, nbrs, mskf, rbf2d, wlist, T, K)
+    in_specs, whole, tk_blk = _specs(sp, vp, nbrs, mskf, rbf2d, wlist, T, K)
     t_blk = lambda w_: pl.BlockSpec((T, w_), lambda i: (i, 0))
-    in_specs += [t_blk(ds), t_blk(dv), t_blk(dv), t_blk(dv)]
+    in_specs += [t_blk(ds), t_blk(3 * dv)]
     out_specs = (
-        [whole(sp), whole(vxp), whole(vxp), whole(vxp),
-         tk_blk(nb), tk_blk(1), tk_blk(1), tk_blk(1)]
+        [whole(sp), whole(vp), tk_blk(nb), tk_blk(1), tk_blk(1), tk_blk(1)]
         + [whole(w_) for w_ in wlist]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct(sp.shape, s.dtype)]
-        + [jax.ShapeDtypeStruct(vxp.shape, s.dtype)] * 3
-        + [jax.ShapeDtypeStruct(rbf2d.shape, s.dtype)]
+        [jax.ShapeDtypeStruct(sp.shape, s.dtype),
+         jax.ShapeDtypeStruct(vp.shape, s.dtype),
+         jax.ShapeDtypeStruct(rbf2d.shape, s.dtype)]
         + [jax.ShapeDtypeStruct(ux.shape, s.dtype)] * 3
         + [jax.ShapeDtypeStruct(w_.shape, w_.dtype) for w_ in wlist]
     )
-    kernel = functools.partial(_bwd_kernel, T=T, K=K, W=W, n_tiles=N // T)
+    kernel = functools.partial(_bwd_kernel, T=T, K=K, W=W, n_tiles=N // T, dv=dv)
+    gvpack = jnp.concatenate([g_vx, g_vy, g_vz], axis=-1)
     res = pl.pallas_call(
         kernel,
         grid=(N // T,),
@@ -472,13 +479,12 @@ def fused_gvp_conv_bwd(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(sp, vxp, vyp, vzp, nbrs, mskf, rbf2d, ux, uy, uz, *wlist,
-      g_s, g_vx, g_vy, g_vz)
-    gs_pad, gvx_pad, gvy_pad, gvz_pad = res[:4]
-    g_rbf, g_ux, g_uy, g_uz = res[4:8]
-    g_w = res[8:]
+    )(sp, vp, nbrs, mskf, rbf2d, ux, uy, uz, *wlist, g_s, gvpack)
+    gs_pad, gv_pad, g_rbf, g_ux, g_uy, g_uz = res[:6]
+    g_w = res[6:]
     unpad = lambda x: x[W : W + N]
-    return (unpad(gs_pad), unpad(gvx_pad), unpad(gvy_pad), unpad(gvz_pad),
+    gv = unpad(gv_pad)
+    return (unpad(gs_pad), gv[:, :dv], gv[:, dv : 2 * dv], gv[:, 2 * dv :],
             g_rbf, g_ux, g_uy, g_uz, tuple(g_w))
 
 
@@ -507,10 +513,13 @@ def _fgc_fwd(s, vx, vy, vz, nbrs, mask, rbf2d, ux, uy, uz, wlist,
 def _fgc_bwd(window, tile, interpret, resids, g):
     s, vx, vy, vz, nbrs, mask, rbf2d, ux, uy, uz, wlist = resids
     g_s, g_vx, g_vy, g_vz = g
+    # the reverse sweep holds ~2x the forward's live tensors (residuals +
+    # cotangents): tile 64 blew Mosaic's 16M scoped-VMEM budget by 12M on
+    # v5e, tile 16 fits
     (gs, gvx, gvy, gvz, g_rbf, g_ux, g_uy, g_uz, g_w) = fused_gvp_conv_bwd(
         s, vx, vy, vz, nbrs, mask, rbf2d, ux, uy, uz, wlist,
         g_s, g_vx, g_vy, g_vz,
-        window=window, tile=tile, interpret=interpret,
+        window=window, tile=max(tile // 4, 8), interpret=interpret,
     )
     return (gs, gvx, gvy, gvz, None, None, g_rbf, g_ux, g_uy, g_uz, g_w)
 

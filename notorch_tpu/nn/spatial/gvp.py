@@ -255,10 +255,14 @@ class GvpConv(nn.Module):
     gather + 3 GatedGVP layers + masked mean aggregation) through the
     Pallas kernel (:mod:`notorch_tpu.kernels.gvp_conv`) — the [N, K, .]
     message tensors never touch HBM. Requires the banded neighbor
-    structure; ``impl="auto"`` picks fused when ``neighbor_window`` is set,
-    dropout is 0, the stack is the standard 3 message GVPs, f32, and the
-    node count tiles evenly — the jnp path otherwise (it remains the
-    autodiff oracle; parity-tested)."""
+    structure (and dropout 0, 3 message GVPs, f32, node count % 64).
+    MEASURED-CLOSED on v5e (BASELINE.md round 5): the kernel forward beats
+    the XLA conv by ~27%/layer (349us vs ~480us) but its backward, capped
+    at tile 16 by Mosaic's 16M scoped-VMEM budget, runs 983us/layer —
+    Mosaic's ~1us/op/step fixed overhead dominates small-tile kernels
+    (the same ceiling as the attention kernels). ``impl="auto"`` therefore
+    resolves to the jnp path; "fused" stays available and parity-tested
+    (outputs 2e-3 on chip = bf16-multiply order; grads 2.4e-5 global)."""
 
     scalar_dim: int
     vector_dim: int
@@ -272,8 +276,8 @@ class GvpConv(nn.Module):
     impl: str = "auto"  # "auto" | "fused" | "jnp"
 
     def _use_fused(self, N: int) -> bool:
-        if self.impl == "jnp":
-            return False
+        if self.impl != "fused":
+            return False  # auto -> jnp (measured faster end to end; above)
         ok = (
             self.neighbor_window is not None
             and self.dropout == 0.0
