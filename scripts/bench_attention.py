@@ -131,7 +131,9 @@ def main(hidden=256, depth=3, heads=4):
     from notorch_tpu.nn.attention_dense import DenseGATBlock
     from notorch_tpu.nn.chemprop_dense import DenseGraphEmbedding
 
-    V_b, E_b = 72, 128
+    # lane-aligned production bins (gat_loader_kwargs; +32% fwd vs the 72
+    # default heuristic — BASELINE.md round 4)
+    V_b, E_b = 128, 256
     n_bins = -(-len(plan_bins(graphs, V_b, E_b)) // 8) * 8
     pk = pack_graphs_dense(graphs, V_b, E_b, bin_cap=n_bins)
     dembed = DenseGraphEmbedding(42, 13, hidden_dim=hidden)
