@@ -58,7 +58,18 @@ def enable_compilation_cache(directory: str | None = None) -> str | None:
     import jax
 
     os.makedirs(directory, exist_ok=True)
+    prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", str(directory))
+    if prev and prev != str(directory):
+        # the cache handle is created lazily ONCE; a later dir change is
+        # silently ignored without a reset (observed: a second Checkpointer
+        # dir in the same process kept writing to the first)
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
     # cache every compile, however small/fast — molecular-graph programs are
     # tiny by XLA standards and would otherwise all fall under the default
     # size/time thresholds
