@@ -142,6 +142,42 @@ def main(hidden=256, depth=3, heads=4):
     dblock = DenseGATBlock(hidden_dim=hidden, depth=depth, num_heads=heads)
     dbv = dblock.init(key, Gp)
 
+    # dense GATv2 (round 5: edge-space scores + one-contraction scatter)
+    gblock = DenseGATBlock(hidden_dim=hidden, depth=depth, num_heads=heads,
+                           attention="gatv2")
+    gbv = gblock.init(key, Gp)
+
+    def make_gv2_fwd(chain):
+        @jax.jit
+        def run(bv, Gp):
+            def body(_, feats):
+                return gblock.apply(bv, Gp.update(node_feats=feats)).node_feats
+            return jnp.sum(
+                jax.lax.fori_loop(0, chain, body, Gp.node_feats).astype(jnp.float32)
+            )
+        return lambda: run(gbv, Gp)
+
+    fb, fc = measure(make_gv2_fwd)
+
+    def make_gv2_train(chain):
+        @jax.jit
+        def run(bv, Gp):
+            def step(params, _):
+                def loss(p):
+                    o = gblock.apply(p, Gp, training=True)
+                    return jnp.sum(o.node_feats**2)
+                g = jax.grad(loss)(params)
+                return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g), ()
+            pN, _ = jax.lax.scan(step, bv, None, length=chain)
+            return jnp.sum(jnp.asarray(
+                [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(pN)]
+            ))
+        return lambda: run(gbv, Gp)
+
+    tb, tc = measure(make_gv2_train)
+    out["dense_gatv2_fwd_edge_updates_per_sec"] = round(real_edges * depth * fc / fb, 1)
+    out["dense_gatv2_train_edge_updates_per_sec"] = round(real_edges * depth * tc / tb, 1)
+
     def make_dense_fwd(chain):
         @jax.jit
         def run(bv, Gp):

@@ -173,10 +173,20 @@ def test_gat_lipo_sanity(lipo_rows):
     model = build_gat(
         hidden_dim=128, depth=3, transforms=transforms, optimizer=optax.adam(1e-3)
     )
-    train_loader = DataLoader(train, batch_size=64, shuffle=True, seed=0)
+    # auto layout resolves dense_packed (round 5) — use the production
+    # loader settings (gat_loader_kwargs: lane-aligned 128x256 bins)
+    from notorch_tpu.models.gat import gat_loader_kwargs
+
+    lk = gat_loader_kwargs("dense_packed")
+    train_loader = DataLoader(
+        train, batch_size=64, shuffle=True, seed=0, layout="dense_packed", **lk
+    )
     state = model.init(jax.random.PRNGKey(0), next(iter(train_loader)))
     result = fit(model, state, train_loader, epochs=15)
-    logs = evaluate(model, result.state.params, DataLoader(test, batch_size=64))
+    logs = evaluate(
+        model, result.state.params,
+        DataLoader(test, batch_size=64, layout="dense_packed", **lk),
+    )
     std = transforms["y"]["targets"]["module"].scale[0]
     rmse = logs["val/rmse"] * std
     assert rmse <= 1.0, f"GAT lipo RMSE {rmse:.3f} > 1.0"
