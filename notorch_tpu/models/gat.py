@@ -26,8 +26,8 @@ from notorch_tpu.tasks import metrics as M
 
 def resolve_gat_layout(layout: str = "auto", *, attention: str = "gatv2") -> str:
     """``auto`` -> dense_packed for BOTH stacks. The sdp (transformer)
-    layer becomes batched MXU matmuls over packed bins (measured 161.2M
-    fwd / 30.4M train edge-updates/s on v5e with lane-aligned 128x256 bins
+    layer becomes batched MXU matmuls over packed bins (measured 162.8M
+    fwd / 32.5M train edge-updates/s on v5e with lane-aligned 128x256 bins
     vs 10.2M / 2.6M flat). GATv2 goes dense too (round 5): its LeakyReLU
     score is not q.k^T-factorizable, but it only needs values at EDGE
     positions — computed in edge space and scattered with one contraction

@@ -27,10 +27,45 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from notorch_tpu.conf import DEFAULT_HIDDEN_DIM
 from notorch_tpu.data.dense import DenseBatchedGraph
+
+
+@jax.custom_vjp
+def _edge_bias_scatter(S, eb, Gm):
+    """bias[b,h,i,j] = sum_e S[b,i,e] eb[b,e,h] G[b,e,j] with an explicitly
+    FACTORED backward: XLA's autodiff of the 3-operand einsum picks a
+    contraction order whose eb-cotangent materializes [B,V,E,H]-scale
+    intermediates (~40% of the round-4 train step); the hand factorization
+    is two well-shaped steps:
+
+        T[b,h,e,j] = sum_i S[b,i,e] g[b,h,i,j]      (one batched matmul)
+        g_eb[b,e,h] = sum_j T[b,h,e,j] G[b,e,j]     (multiply + reduce)
+
+    S and Gm are integer-derived one-hots (non-differentiable); their
+    cotangents are symbolically zero. The forward uses the two_step
+    formulation (fastest measured forward: 561us vs 799us per layer-iter),
+    so ONE impl is optimal for training and inference (measured 2839us
+    train vs two_step-autodiff 3225 / einsum3-autodiff 2961)."""
+    SB = S[:, :, :, None] * eb[:, None, :, :]  # [B, V, E, H]
+    return jnp.einsum("bieh,bej->bhij", SB, Gm)
+
+
+def _ebs_fwd(S, eb, Gm):
+    return _edge_bias_scatter(S, eb, Gm), (S, eb, Gm)
+
+
+def _ebs_bwd(res, g):
+    S, eb, Gm = res
+    T = jnp.einsum("bie,bhij->bhej", S, g)
+    g_eb = jnp.einsum("bhej,bej->beh", T, Gm)
+    return jnp.zeros_like(S), g_eb, jnp.zeros_like(Gm)
+
+
+_edge_bias_scatter.defvjp(_ebs_fwd, _ebs_bwd)
 
 
 class DenseGraphSelfAttention(nn.Module):
@@ -113,10 +148,12 @@ class DenseGraphSelfAttention(nn.Module):
             eb = nn.Dense(H, dtype=self.dtype, name="W_bias")(G.edge_feats)  # [B,E,H]
             bias_impl = self.bias_impl
             if bias_impl == "auto":
-                bias_impl = "einsum3" if training else "two_step"
+                bias_impl = "factored_vjp"
             if bias_impl == "two_step":
                 SB = S[:, :, :, None] * eb[:, None, :, :]  # [B, V, E, H]
                 scores = scores + jnp.einsum("bieh,bej->bhij", SB, Gm)
+            elif bias_impl == "factored_vjp":
+                scores = scores + _edge_bias_scatter(S, eb, Gm)
             else:
                 scores = scores + jnp.einsum("bie,beh,bej->bhij", S, eb, Gm)
 
