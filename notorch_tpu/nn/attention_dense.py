@@ -275,7 +275,9 @@ class DenseGATv2Layer(nn.Module):
 
         S = G.scatter_matrix(x.dtype)  # [B, V, E] masked dst one-hot
         M = jnp.einsum("bie,bej->bij", S, Gm)
-        scores = jnp.einsum("bie,beh,bej->bhij", S, scores_e, Gm)
+        # same factored-VJP scatter as the transformer bias (the autodiff
+        # cotangent otherwise materializes [B,V,E,H]-scale intermediates)
+        scores = _edge_bias_scatter(S, scores_e, Gm)
 
         mask = (M > 0)[:, None, :, :]
         neg = jnp.where(mask, scores, -jnp.inf)
