@@ -26,13 +26,13 @@ from notorch_tpu.tasks import metrics as M
 
 def resolve_gat_layout(layout: str = "auto", *, attention: str = "gatv2") -> str:
     """``auto`` -> dense_packed for BOTH stacks. The sdp (transformer)
-    layer becomes batched MXU matmuls over packed bins (measured 162.8M
-    fwd / 32.5M train edge-updates/s on v5e with lane-aligned 128x256 bins
+    layer becomes batched MXU matmuls over packed bins (measured 161.7M
+    fwd / 37.0M train edge-updates/s on v5e with lane-aligned 128x256 bins
     vs 10.2M / 2.6M flat). GATv2 goes dense too (round 5): its LeakyReLU
     score is not q.k^T-factorizable, but it only needs values at EDGE
     positions — computed in edge space and scattered through the factored-
     VJP contraction (``nn/attention_dense.DenseGATv2Layer``; flat-oracle
-    parity-tested; 128.3M fwd / 30.2M train on v5e = 10.2x / 6.4x flat)."""
+    parity-tested; 126.2M fwd / 29.1M train on v5e = 10x / 6.2x flat)."""
     if layout != "auto":
         return layout
     return "dense_packed"

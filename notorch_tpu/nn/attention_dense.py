@@ -68,6 +68,34 @@ def _ebs_bwd(res, g):
 _edge_bias_scatter.defvjp(_ebs_fwd, _ebs_bwd)
 
 
+@jax.custom_vjp
+def _masked_softmax(scores, mask):
+    """Row-masked softmax over the last axis with the TEXTBOOK backward
+    (g_s = alpha * (g - sum(alpha * g))): autodiff of the where/-inf/
+    isfinite forward spends several extra [B, H, V, V] elementwise passes
+    re-deriving the same thing. All-masked rows yield zero weights (and
+    exactly zero gradient). mask cotangent is symbolically zero."""
+    neg = jnp.where(mask, scores, -jnp.inf)
+    mx = jnp.max(neg, axis=-1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
+    return ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+
+
+def _msm_fwd(scores, mask):
+    alpha = _masked_softmax(scores, mask)
+    return alpha, alpha
+
+
+def _msm_bwd(alpha, g):
+    tmp = alpha * g
+    g_s = tmp - alpha * jnp.sum(tmp, axis=-1, keepdims=True)
+    return g_s, None
+
+
+_masked_softmax.defvjp(_msm_fwd, _msm_bwd)
+
+
 class DenseGraphSelfAttention(nn.Module):
     """Edge-restricted multi-head self-attention, dense layout.
 
@@ -157,12 +185,8 @@ class DenseGraphSelfAttention(nn.Module):
             else:
                 scores = scores + jnp.einsum("bie,beh,bej->bhij", S, eb, Gm)
 
-        mask = (M > 0)[:, None, :, :]  # [B, 1, V, V]
-        neg = jnp.where(mask, scores, -jnp.inf)
-        mx = jnp.max(neg, axis=-1, keepdims=True)
-        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-        ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
-        alpha = ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+        mask = (M > 0)[:, None, :, :]  # [B, 1, V, V] (where() broadcasts)
+        alpha = _masked_softmax(scores, mask)
 
         out = jnp.einsum("bhij,bjhd->bihd", alpha, v).reshape(B, V, d)
         out = nn.Dense(d, dtype=self.dtype, name="W_o")(out)
@@ -279,12 +303,8 @@ class DenseGATv2Layer(nn.Module):
         # cotangent otherwise materializes [B,V,E,H]-scale intermediates)
         scores = _edge_bias_scatter(S, scores_e, Gm)
 
-        mask = (M > 0)[:, None, :, :]
-        neg = jnp.where(mask, scores, -jnp.inf)
-        mx = jnp.max(neg, axis=-1, keepdims=True)
-        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-        ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
-        alpha = ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+        mask = (M > 0)[:, None, :, :]  # (where() broadcasts)
+        alpha = _masked_softmax(scores, mask)
 
         out = jnp.einsum("bhij,bjhd->bihd", alpha, u.reshape(B, V, H, dh))
         return G.update(node_feats=out.reshape(B, V, d))
