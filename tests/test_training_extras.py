@@ -296,3 +296,35 @@ def test_spmd_fit_resume_flat_edge_partitioned(tmp_path):
         jax.tree.leaves(jax.device_get(res_state.params)),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_early_stopping_best_by_e2e(tmp_path):
+    """The full config surface: early_stopping + best_by + clip_norm through
+    run() — stops early on a plateau, reports best_step, and evaluates the
+    test split with the BEST epoch's weights."""
+    import pandas as pd
+
+    from notorch_tpu.cli.train import run
+
+    small = tmp_path / "lipo_small.csv"
+    pd.read_csv("tests/data/lipo.csv").head(48).to_csv(small, index=False)
+    cfg = {
+        "data": {
+            "csv": str(small),
+            "targets": {"y": {"columns": ["lipo"]}},
+            "split": {"fractions": [0.6, 0.2, 0.2], "seed": 0},
+        },
+        "model": {"kind": "dmpnn", "hidden_dim": 16, "depth": 1},
+        "optimizer": {"name": "sgd", "lr": 0.0, "clip_norm": 1.0},  # plateau
+        "trainer": {
+            "epochs": 40, "batch_size": 16, "prefetch": 0, "seed": 0,
+            "checkpoint_dir": str(tmp_path / "ck"),
+            "best_by": "val/rmse",
+            "early_stopping": {"monitor": "val/rmse", "patience": 2},
+        },
+    }
+    out = run(cfg)
+    assert out["stopped_early"]
+    assert len(out["history"]) == 3  # 1 best + 2 plateau epochs
+    assert "best_step" in out
+    assert np.isfinite(out["test"]["val/rmse"])
