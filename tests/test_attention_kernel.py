@@ -125,3 +125,51 @@ def test_fused_attention_pallas_fwd_v2_parity(packed):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_factored_vjp_and_masked_softmax_match_autodiff(packed):
+    """The hand-written XLA backward factorizations (_edge_bias_scatter,
+    _masked_softmax — +32% train on v5e) produce the same gradients as
+    plain autodiff of the two_step formulation."""
+    key = jax.random.PRNGKey(5)
+    ref = DenseGATBlock(hidden_dim=16, depth=2, num_heads=2, bias_impl="two_step")
+    fac = DenseGATBlock(hidden_dim=16, depth=2, num_heads=2, bias_impl="factored_vjp")
+    params = ref.init(key, packed)
+
+    def loss(block):
+        def f(p):
+            out = block.apply(p, packed).node_feats
+            w = jnp.arange(out.shape[-1], dtype=out.dtype)[None, None, :]
+            return jnp.sum(jnp.sin(out) * w)
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(ref))(params)
+    l_fac, g_fac = jax.value_and_grad(loss(fac))(params)
+    np.testing.assert_allclose(float(l_fac), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_fac), jax.tree.leaves(g_ref)):
+        # atol floor: the score-shift-invariant zero-grad bias leaves
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6
+        )
+
+    # _masked_softmax custom bwd vs autodiff of the same masked formula
+    from notorch_tpu.nn.attention_dense import _masked_softmax
+
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.normal(size=(3, 2, 8, 8)).astype(np.float32)) * 3
+    m = jnp.asarray(rng.random((3, 1, 8, 8)) < 0.6)
+    m = m.at[0, 0, 2].set(False)  # one fully-masked row
+
+    def auto(s):
+        neg = jnp.where(m, s, -jnp.inf)
+        mx = jnp.max(neg, axis=-1, keepdims=True)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.where(m, jnp.exp(neg - mx), 0.0)
+        return ex / jnp.maximum(ex.sum(axis=-1, keepdims=True), 1e-12)
+
+    cot = jnp.asarray(rng.normal(size=s.shape).astype(np.float32))
+    g_auto = jax.grad(lambda x: jnp.sum(auto(x) * cot))(s)
+    g_cust = jax.grad(lambda x: jnp.sum(_masked_softmax(x, m) * cot))(s)
+    np.testing.assert_allclose(
+        np.asarray(g_cust), np.asarray(g_auto), rtol=1e-5, atol=1e-6
+    )
