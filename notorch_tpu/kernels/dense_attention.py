@@ -32,6 +32,17 @@ Mosaic notes (hazards measured in earlier rounds, see CLAUDE.md): the head
 loop is static; per-head q/k/v slices are static lax slices of VMEM values;
 the bool mask is compared in f32 and never minor-dim-broadcast as i1; the
 edge-bias rides as [B, H, E] so its minor dim is lane-aligned.
+
+STATUS (round 5, measured-closed — BASELINE.md): every kernel generation
+here (v1 heads-in-loop, v2 head-in-grid, hybrid XLA-fwd/Pallas-bwd) is
+parity-exact on chip but SLOWER end to end than XLA's einsum machinery at
+the production shapes (V=128, dh=64) — this Mosaic toolchain charges
+~0.5-1us fixed cost per vector op per grid step, which dominates
+small-tile kernels. The production attention path is the jnp module with
+the factored bias-scatter VJP + custom masked-softmax VJP
+(``nn/attention_dense.py`` — the two XLA-level levers the kernel
+decompositions exposed; +32% train). The kernels stay for comparison and
+regression gating.
 """
 
 from __future__ import annotations
